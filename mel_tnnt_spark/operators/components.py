@@ -1,0 +1,107 @@
+"""Connected components over a similarity graph — iterative DataFrame
+joins (GraphFrames-style), the identity-canonicalization stage.
+
+The reference's closest analogue is cross-model aggregation merging
+same-entity mentions (code/NLP_NER_API/analysis/aggregation.py:298-325);
+true identity canonicalization is new distributed work mandated by
+BASELINE.json's north_star.
+
+Algorithm: iterative minimum-label propagation ("hash-to-min" family,
+cf. Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds"). Each round:
+    label(v) <- min(label(v), min over neighbours(label(u)))
+on symmetrized edges, with localCheckpoint() per round to truncate
+lineage (SURVEY.md §4c) and an AQE-planned shuffle on the node key.
+Convergence = no label changed (a count aggregate, not a collect of
+data rows). Rounds are O(graph diameter); similarity graphs here are
+shallow. For adversarially deep graphs swap in alternating
+small-star/large-star — the loop scaffold (checkpoint + convergence
+test) is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) where component is the
+    lexicographic min node id of the component. Isolated nodes only in
+    `edges` vacuously; pass self-loops for singletons if needed."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label among neighbours
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy("a")
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_component", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("neigh_component", F.col("component")) < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum(F.col("_changed").cast("int")).alias("c")).collect()[0]["c"]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels
+
+
+def similarity_edges(linked: DataFrame) -> DataFrame:
+    """Build identity edges from linked mentions: two entity_ids are the
+    same identity if they share a normalized canonical surface (the
+    near-miss variants in the alias dict), plus trivial self-equality.
+
+    Normalization: lower + strip non-alphanumerics — cheap JVM-side
+    blocking key. At 100 TB this is an equi-join on the blocking key
+    (shuffle on norm_key), not an O(n^2) similarity cross-join."""
+    norm = linked.select(
+        F.col("entity_id"),
+        F.regexp_replace(F.lower("canonical"), "[^a-z0-9]", "").alias("norm_key"),
+    ).distinct()
+    a = norm.alias("x")
+    b = norm.alias("y")
+    return (
+        a.join(b, "norm_key")
+        .where(F.col("x.entity_id") < F.col("y.entity_id"))
+        .select(F.col("x.entity_id").alias("src"), F.col("y.entity_id").alias("dst"))
+        .distinct()
+    )
+
+
+def canonical_entities(linked: DataFrame) -> DataFrame:
+    """Identity canonicalization: entity_id -> canonical component id.
+    Entities that never pair up keep themselves as component."""
+    edges = similarity_edges(linked)
+    nodes = linked.select("entity_id").distinct()
+    cc = connected_components(edges)
+    return nodes.join(cc, nodes["entity_id"] == cc["node"], "left").select(
+        "entity_id", F.coalesce("component", F.col("entity_id")).alias("canonical_id")
+    )

@@ -1,0 +1,76 @@
+"""Entity linking (J8): candidate generation against a broadcast alias
+dictionary + deterministic scoring + top-1 selection.
+
+The reference links species names / conservation statuses to WikiData
+URIs with per-row SPARQL point queries
+(code/MEL/DoEE_Species.py:224-274). Per BASELINE.json, the rebuild
+replaces the network hop with an offline broadcast alias dictionary and
+scores candidates relationally — no executor network I/O.
+
+Scoring: score = prior + 0.5 * label_match, where label_match is 1 when
+the candidate's canonical tnnt_label equals the mention's canonicalized
+label (context-compatibility signal). Deterministic tie-break on
+entity_id. Top-1 via max_by-style struct-max (no sort, map-side
+combinable) rather than a row_number window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.config import ALIAS_DICT
+
+
+def alias_dict_df(spark: SparkSession) -> DataFrame:
+    """Broadcast side of the linking join (FIXTURES.md §4 shape)."""
+    rows = [
+        (d["alias"], d["entity_id"], d["canonical"], d["tnnt_label"], float(d["prior"]))
+        for d in ALIAS_DICT
+    ]
+    return spark.createDataFrame(
+        rows, "alias string, entity_id string, canonical string, tnnt_label string, prior double"
+    )
+
+
+def link_candidates(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Candidate generation: broadcast equi-join mention surface ->
+    alias. One mention may fan out to several candidates (ambiguous
+    aliases)."""
+    a = aliases.select(
+        F.col("alias").alias("entity"),
+        "entity_id",
+        "canonical",
+        F.col("tnnt_label").alias("cand_label"),
+        "prior",
+    )
+    return canon_mentions.join(F.broadcast(a), "entity", "inner").withColumn(
+        "score",
+        F.round(
+            F.col("prior")
+            + F.when(F.col("cand_label") == F.col("tnnt_label"), F.lit(0.5)).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+def best_candidate(scored: DataFrame) -> DataFrame:
+    """Top-1 per mention occurrence: max by (score, entity_id desc-safe
+    deterministic tie-break). Key includes the span so repeated surfaces
+    in one doc each link independently."""
+    key = ["doc_id", "model", "category", "entity", "start_index", "end_index"]
+    pick = scored.groupBy(*key).agg(
+        F.max(F.struct("score", "entity_id", "canonical", "cand_label")).alias("_b")
+    )
+    return pick.select(
+        *key,
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.canonical").alias("canonical"),
+        F.col("_b.cand_label").alias("linked_label"),
+        F.col("_b.score").alias("score"),
+    )
+
+
+def link_mentions(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Full linking: candidates -> scoring -> top-1."""
+    return best_candidate(link_candidates(canon_mentions, aliases))

@@ -1,0 +1,180 @@
+"""TNNT stage: batched mention detection via mapInPandas.
+
+The reference dispatches per-doc, per-model NER through `run_model`
+(code/NLP_NER/EntityRecognition.py:997-1018) and materializes mentions
+with `get_entity_label_lists` (834-892): per category, a running
+`text.find(entity, offset)` assigns offsets (W6) and
+`get_context_sentence` (825-832) attaches the sentence.
+
+Here each "model" is a deterministic detector (regex / gazetteer —
+FIXTURES.md §2 names them) registered in DETECTORS; real NLP models slot
+in behind the same interface (callable text -> [(category, entity,
+start, end)]), loaded lazily once per python worker (reference analogue:
+one-time model loading, code/MEL/__init__.py:2351-2356).
+
+Execution shape: ONE mapInPandas pass emits mentions for ALL models
+(one-to-many, UDTF-like). Arrow batches in, long-form mention rows out —
+no per-row Python UDF calls, no driver loops.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mel_tnnt_spark.config import (
+    GAZETTEER_CONLL,
+    GAZETTEER_ONTO,
+    REGEX_MODEL_PATTERNS,
+)
+from mel_tnnt_spark.functions.text import py_context_sentence
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("model", StringType(), False),
+        StructField("category", StringType(), False),
+        StructField("entity", StringType(), False),
+        StructField("start_index", IntegerType(), False),
+        StructField("end_index", IntegerType(), False),
+        StructField("sentence", StringType(), True),
+    ]
+)
+
+# span tuple: (category, entity, start, end)
+Detector = Callable[[str], list[tuple[str, str, int, int]]]
+
+
+def _gazetteer_detector(gazetteer: dict[str, str]) -> Detector:
+    """Find each gazetteer surface with the reference's running-offset
+    semantics (W6, code/NLP_NER/EntityRecognition.py:878-887): offsets
+    advance past each match, so duplicates get successive positions."""
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        spans: list[tuple[str, str, int, int]] = []
+        for surface, category in gazetteer.items():
+            offset = 0
+            while True:
+                offset = text.find(surface, offset)
+                if offset < 0:
+                    break
+                spans.append((category, surface, offset, offset + len(surface)))
+                offset += len(surface)
+        return spans
+
+    return detect
+
+
+def _regex_detector(patterns: dict[str, str]) -> Detector:
+    """finditer gives char offsets natively (spaCy-branch analogue:
+    entity.start_char/end_char, code/NLP_NER/EntityRecognition.py:846-848)."""
+    compiled = {c: re.compile(p) for c, p in patterns.items()}
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        spans = []
+        for category, prog in compiled.items():
+            for m in prog.finditer(text):
+                spans.append((category, m.group(0), m.start(), m.end()))
+        return spans
+
+    return detect
+
+
+# Worker-side registry; built lazily so heavyweight models would only
+# load in the executor python worker, once, and be reused across batches.
+_DETECTOR_CACHE: dict[str, Detector] = {}
+
+
+def _detectors() -> dict[str, Detector]:
+    if not _DETECTOR_CACHE:
+        _DETECTOR_CACHE["regex_model"] = _regex_detector(REGEX_MODEL_PATTERNS)
+        _DETECTOR_CACHE["gazetteer_conll_model"] = _gazetteer_detector(GAZETTEER_CONLL)
+        _DETECTOR_CACHE["gazetteer_onto_model"] = _gazetteer_detector(GAZETTEER_ONTO)
+    return _DETECTOR_CACHE
+
+
+def detect_mentions_py(doc_id: str, text: str, models: tuple[str, ...]) -> list[dict]:
+    """Run the registered detectors over one preprocessed text; emit the
+    reference mention schema ({entity, start_index, end_index, sentence},
+    code/NLP_NER/EntityRecognition.py:842-847)."""
+    out = []
+    registry = _detectors()
+    for model in models:
+        for category, entity, start, end in registry[model](text):
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "model": model,
+                    "category": category,
+                    "entity": entity,
+                    "start_index": start,
+                    "end_index": end,
+                    "sentence": py_context_sentence(start, text),
+                }
+            )
+    return out
+
+
+def detect_mentions(
+    df: DataFrame,
+    models: tuple[str, ...] = ("regex_model", "gazetteer_conll_model", "gazetteer_onto_model"),
+    text_col: str = "preproc_text",
+) -> DataFrame:
+    """mapInPandas over (doc_id, text) batches -> long mention rows.
+
+    Only the two needed columns cross the Arrow boundary (column pruning
+    by construction); batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    narrow = df.select("doc_id", F.col(text_col).alias("_text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MENTION_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                if text:
+                    rows.extend(detect_mentions_py(doc_id, text, models))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return narrow.mapInPandas(run, MENTION_SCHEMA)
+
+
+def mention_stats(mentions: DataFrame) -> DataFrame:
+    """A4 — per-(doc, model, category) entity counts, the `_stats`
+    number-of-entities map (code/NLP_NER/EntityRecognition.py:814-823)
+    in long form. Wall-clock stats are runtime telemetry, not data."""
+    return (
+        mentions.groupBy("doc_id", "model", "category")
+        .count()
+        .withColumnRenamed("count", "number_of_entities")
+    )
+
+
+def ensemble_intersect(mentions: DataFrame, model_a: str, model_b: str) -> DataFrame:
+    """J7 — model-ensemble intersection (spacy_model_ensemble,
+    code/NLP_NER/EntityRecognition.py:1095-1150): keep mentions found by
+    BOTH models at the same span. The reference compares items for
+    equality per category; spans + entity text equality is that same
+    predicate relationally.
+
+    Category spaces differ per model, so the join key is the span, not
+    the raw category (the reference compares within the model's own
+    category lists; for cross-space ensembles canonicalize first)."""
+    a = mentions.where(F.col("model") == model_a).select(
+        "doc_id", "entity", "start_index", "end_index", F.col("category").alias("category_a")
+    )
+    b = mentions.where(F.col("model") == model_b).select(
+        "doc_id", "entity", "start_index", "end_index", F.col("category").alias("category_b")
+    )
+    return a.join(b, ["doc_id", "entity", "start_index", "end_index"], "inner")

@@ -1,0 +1,108 @@
+"""MEL stage: general metadata + text analysis as derived columns.
+
+Re-expresses the reference's per-file metadata extraction
+(Directory.scanAndBuildStructure, code/MEL/__init__.py:2131-2166, and
+File.extractMetadata, code/MEL/__init__.py:1112-1164) as one declarative
+projection over the source table. Everything except the NFKD fold is
+JVM-side and stays inside whole-stage codegen; filters are plain
+predicates Catalyst can push into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.config import EXTENSION_MAPPINGS, MIME_TYPES
+from mel_tnnt_spark.functions.text import clean_text_udf, preprocess_text_col
+
+
+def _map_literal(mapping: dict[str, str]) -> Column:
+    """Build a MapType literal for a small dict (broadcast-inlined)."""
+    kv: list[Column] = []
+    for k, v in mapping.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(v))
+    return F.create_map(*kv)
+
+
+def with_general_metadata(src: DataFrame) -> DataFrame:
+    """Derive the reference's General-Metadata fields (FILENAME, PARENT,
+    ABSOLUTEPATH, FILELENGTH, EXTENSION, TYPE — code/MEL/__init__.py:
+    2140-2162) from (repo, path, commit, lang, content).
+
+    Also assigns `doc_id` — the stable document key. The reference keys
+    output files by blake2s(digest_size=7) of ABSOLUTEPATH
+    (code/MEL/__init__.py:2386-2389); we use sha2(repo||path||commit)
+    (documented divergence: same role, different hash — byte-parity of
+    the key itself is not part of the extraction contract).
+    """
+    ext = F.upper(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
+    return (
+        src.withColumn("abs_path", F.concat_ws("/", "repo", "path"))
+        .withColumn("doc_id", F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256))
+        .withColumn("filename", F.element_at(F.split("path", "/"), -1))
+        .withColumn("parent", F.regexp_extract("path", r"^(.*)/[^/]+$", 1))
+        .withColumn("extension", ext)
+        .withColumn("file_length", F.octet_length(F.coalesce("content", F.lit(""))))
+        .withColumn(
+            "mime_type",
+            F.coalesce(
+                _map_literal(MIME_TYPES)[F.col("extension")],
+                F.lit("application/octet-stream"),
+            ),
+        )
+        .withColumn(
+            "extractor",
+            F.coalesce(_map_literal(EXTENSION_MAPPINGS)[F.col("extension")], F.lit("TXT")),
+        )
+    )
+
+
+def filter_processable(df: DataFrame) -> DataFrame:
+    """P3: drop empty files (File.isEmpty, code/MEL/__init__.py:1094-1096)
+    and protected "~$" temp files (File.isProtected, 1098-1105)."""
+    return df.where(
+        (F.col("file_length") > 0) & ~F.col("filename").startswith("~$")
+    )
+
+
+def latest_commit_only(df: DataFrame) -> DataFrame:
+    """W3 latest-wins dedup: keep one row per (repo, path) — the highest
+    commit per deterministic order. Reference analogue: newest-mtime file
+    wins among outputs sharing a base name
+    (code/NLP_NER_API/interface/fileinfo.py:11-13).
+
+    Implemented with max_by-style struct-max aggregation rather than a
+    row_number window: a window over (repo, path) would sort every
+    partition; the struct-max aggregates map-side and shuffles only one
+    row per key — materially cheaper at 10^12 files.
+    """
+    picked = df.groupBy("repo", "path").agg(
+        F.max(F.struct(F.col("commit"), F.col("doc_id"))).alias("_pick")
+    )
+    return df.join(
+        picked.select("repo", "path", F.col("_pick.doc_id").alias("doc_id")),
+        ["repo", "path", "doc_id"],
+        "inner",
+    )
+
+
+def with_text_analysis(df: DataFrame) -> DataFrame:
+    """Text.analysis() (code/MEL/__init__.py:971-982) as columns:
+    clean_text (F1+F2, pandas UDF), preproc_text (F3, codegen),
+    n_chars. The counting maps (keywords A2 / pattern-matching A3) are
+    produced as exploded side tables by
+    mel_tnnt_spark.functions.text.keyword_counts / pattern_match_counts —
+    long-form rows scale; per-row JSON maps don't."""
+    return (
+        df.withColumn("clean_text", clean_text_udf(F.col("content")))
+        .withColumn("preproc_text", preprocess_text_col(F.col("clean_text")))
+        .withColumn("n_chars", F.length("content"))
+    )
+
+
+def mel_stage(src: DataFrame) -> DataFrame:
+    """Full MEL metadata stage: general metadata -> processable filter ->
+    latest-commit dedup -> text analysis."""
+    return with_text_analysis(latest_commit_only(filter_processable(with_general_metadata(src))))

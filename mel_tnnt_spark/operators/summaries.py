@@ -1,0 +1,110 @@
+"""Canonical category join (J9) and the summary aggregations (A5-A8).
+
+Reference anchors:
+- NER.postProcessing builds NLP-NER-Summary: count per (doc, entity,
+  category, model) plus per-(doc, entity) totals
+  (code/MEL/__init__.py:2501-2545 — composite '|/*-$#~|' keys at
+  2525-2526, totals 2541-2543).
+- Aggregated summaries / by-category variants:
+  code/NLP_NER_API/analysis/aggregation.py:156-325.
+- Stats suite: aggregation.py:70-146 (max/min/mean/median/mode/stdev/
+  variance/quartiles over per-entity model counts).
+
+All are plain hash aggregations — partial (map-side) aggregation and
+AQE-coalesced shuffles come free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.config import label_classification_rows
+
+
+def label_classification_df(spark: SparkSession) -> DataFrame:
+    """The (model, category) -> tnnt:* dim table
+    (code/NLP_NER_API/config.json:228-513). Tiny: always broadcast."""
+    return spark.createDataFrame(
+        label_classification_rows(), "model string, category string, tnnt_label string"
+    )
+
+
+def canonicalize(mentions: DataFrame, label_map: DataFrame) -> DataFrame:
+    """J9 — broadcast join to the canonical tnnt:* space (applied in the
+    reference at aggregation.py:229-242). Left join: unmapped raw
+    categories keep NULL tnnt_label (reference skips them when
+    regrouping; we keep the row so nothing is silently lost)."""
+    return mentions.join(F.broadcast(label_map), ["model", "category"], "left")
+
+
+def ner_summary(mentions: DataFrame) -> DataFrame:
+    """A5 — fine-grained summary: count per (doc, entity, category,
+    model). The reference's composite string key is just this group-by
+    key; long rows replace the '|/*-$#~|' encoding."""
+    return (
+        mentions.groupBy("doc_id", "entity", "category", "model")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def ner_summary_totals(mentions: DataFrame) -> DataFrame:
+    """A5 totals — per-(doc, entity) overall count
+    (code/MEL/__init__.py:2541-2543)."""
+    return mentions.groupBy("doc_id", "entity").count().withColumnRenamed("count", "total")
+
+
+def ner_summary_rollup(mentions: DataFrame) -> DataFrame:
+    """A5 in ONE pass via ROLLUP over (model, category): yields both the
+    fine rows and the per-(doc, entity) totals with grouping flags —
+    one shuffle instead of two at 10^12-file scale."""
+    return (
+        mentions.rollup("doc_id", "entity", "category", "model")
+        .count()
+        .where(F.col("doc_id").isNotNull() & F.col("entity").isNotNull())
+        .withColumn("is_total", F.col("category").isNull() & F.col("model").isNull())
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def aggregated_summary(mentions: DataFrame) -> DataFrame:
+    """A6 — cross-model aggregation (update_aggregation,
+    aggregation.py:298-325): per (doc, entity) the list of
+    {model, category, count} plus running total, as nested columns."""
+    fine = ner_summary(mentions)
+    return fine.groupBy("doc_id", "entity").agg(
+        F.collect_list(F.struct("model", "category", "cnt")).alias("by_model"),
+        F.sum("cnt").alias("total"),
+    )
+
+
+def summary_by_category(canon: DataFrame) -> DataFrame:
+    """A7 — regroup by canonical label (aggregated_Summary_By_Category,
+    aggregation.py:220-249): totals per (doc, tnnt_label)."""
+    return (
+        canon.where(F.col("tnnt_label").isNotNull())
+        .groupBy("doc_id", "tnnt_label")
+        .count()
+        .withColumnRenamed("count", "total")
+    )
+
+
+def descriptive_stats(fine_summary: DataFrame, key: str = "entity") -> DataFrame:
+    """A8 — the stats suite over per-entity model counts
+    (aggregation.py:70-146). `percentile` is the exact interpolated
+    percentile (matches statistics.quantiles/median semantics close
+    enough for parity tests; mode via max_by(count) of the value
+    histogram is done separately when needed)."""
+    return fine_summary.groupBy(key).agg(
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.round(F.avg("cnt"), 4).alias("mean_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("median_cnt"),
+        F.round(F.coalesce(F.stddev_samp("cnt"), F.lit(0.0)), 4).alias("stdev_cnt"),
+        F.round(F.coalesce(F.var_samp("cnt"), F.lit(0.0)), 4).alias("variance_cnt"),
+        F.round(F.expr("percentile(cnt, 0.25)"), 4).alias("q1_cnt"),
+        F.round(F.expr("percentile(cnt, 0.75)"), 4).alias("q3_cnt"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.count("*").alias("n_groups"),
+    )

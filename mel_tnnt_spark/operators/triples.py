@@ -1,0 +1,66 @@
+"""Graph materialization: (subj, pred, obj) triples.
+
+The reference pushes RDF into Virtuoso via SPARQL
+(code/MEL/__init__.py:2626-2670, default graph at 2634). The rebuild
+materializes the same assertions as a partitioned columnar triples
+table, queryable with Spark SQL (FIXTURES.md §4 golden shape):
+
+    (doc_id,     tnnt:mentions, canonical_entity_id)
+    (entity_id,  rdf:type,      tnnt:* label)
+    (entity_id,  tnnt:label,    canonical surface)
+    (doc_id,     tnnt:partOf,   repo)
+
+Write layout: partition by `pred` (few, large partitions) and bucket-ish
+hash distribution on subj via repartition — predicate-pruned scans for
+per-predicate queries at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ("subj", "pred", "obj")
+
+
+def build_triples(docs: DataFrame, linked: DataFrame, entities: DataFrame) -> DataFrame:
+    """docs: (doc_id, repo) rows; linked: output of link_mentions;
+    entities: (entity_id, canonical_id) from canonical_entities."""
+    resolved = linked.join(entities, "entity_id", "left").withColumn(
+        "canonical_id", F.coalesce("canonical_id", F.col("entity_id"))
+    )
+    mentions_t = resolved.select(
+        F.col("doc_id").alias("subj"),
+        F.lit("tnnt:mentions").alias("pred"),
+        F.col("canonical_id").alias("obj"),
+    ).distinct()
+    type_t = resolved.select(
+        F.col("canonical_id").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("linked_label").alias("obj"),
+    ).distinct()
+    label_t = resolved.select(
+        F.col("canonical_id").alias("subj"),
+        F.lit("tnnt:label").alias("pred"),
+        F.col("canonical").alias("obj"),
+    ).distinct()
+    part_t = docs.select(
+        F.col("doc_id").alias("subj"),
+        F.lit("tnnt:partOf").alias("pred"),
+        F.col("repo").alias("obj"),
+    ).distinct()
+    return mentions_t.unionByName(type_t).unionByName(label_t).unionByName(part_t)
+
+
+def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Persist partitioned by pred, hash-distributed on subj.
+
+    On a real cluster this is
+    `triples.writeTo("catalog.kg.triples").partitionedBy(bucket(256,'subj'),'pred')`
+    (Iceberg); sandbox fallback is parquet with the same layout intent."""
+    (
+        triples.repartition(n_buckets, "subj")
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(path)
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture (targets a multi-executor cluster; tested on local[N]):
+- AQE on, including skew-join splitting — giant repos/files produce
+  skewed `repo` / `doc_id` keys (reference acknowledges this only via
+  file-size buckets, code/NLP_NER/Sampling.py:126-136).
+- Arrow enabled and batch size bounded so pandas-UDF detector batches
+  stay memory-safe even with multi-MB `content` values (reference
+  precedent: recursive punctuation splitting to bound sequence length,
+  code/NLP_NER/EntityRecognition.py:649-661).
+- Python worker reuse so detector "models" are loaded once per worker
+  (reference: NER.loaded one-time model loading, code/MEL/__init__.py:2351-2356).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "mel-tnnt-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    `master` defaults to local[$SPARK_GRAFT_CPUS] (env) or local[*].
+    On a real cluster, leave `master` unset and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        # Arrow boundary: vectorized pandas UDFs only; bound batch rows so a
+        # batch of large `content` strings cannot blow the python worker.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.python.worker.reuse", "true")
+        # 128 MB scan splits: good parallelism at 100 TB without tiny tasks.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast dims (alias dict, label map) aggressively.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

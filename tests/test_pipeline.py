@@ -1,0 +1,224 @@
+"""End-to-end pipeline tests: golden mention/triple P/R, offset
+properties, connected components, sha invariant, resume no-op."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.config import (
+    ALIAS_DICT,
+    GAZETTEER_CONLL,
+    GAZETTEER_ONTO,
+    LABEL_CLASSIFICATION,
+    REGEX_MODEL_PATTERNS,
+)
+from mel_tnnt_spark.datagen import generate_code_files_rows
+from mel_tnnt_spark.functions.text import py_clean_text, py_context_sentence, py_preprocess_text
+from mel_tnnt_spark.pipeline import run_pipeline
+
+
+# ---------------------------------------------------------------------------
+# Independent golden-oracle: a deliberately simple, non-shared
+# re-implementation of the extraction semantics (re + dict loops), used
+# to compute expected mentions/triples for P/R (FIXTURES.md §2/§4).
+# ---------------------------------------------------------------------------
+
+import hashlib
+import re
+
+
+def _doc_id(repo, path, commit):
+    return hashlib.sha256(f"{repo}|{path}|{commit}".encode()).hexdigest()
+
+
+def golden_mentions(rows):
+    """rows: raw code_files tuples. Applies: protected/empty filter,
+    latest-commit-wins, clean+preprocess, then all three detectors."""
+    by_key = {}
+    for repo, path, commit, lang, content, sha in rows:
+        fname = path.rsplit("/", 1)[-1]
+        if not content or fname.startswith("~$"):
+            continue
+        k = (repo, path)
+        cur = by_key.get(k)
+        if cur is None or (commit, _doc_id(repo, path, commit)) > (cur[2], _doc_id(*cur[:3])):
+            by_key[k] = (repo, path, commit, content)
+    out = []
+    for repo, path, commit, content in by_key.values():
+        did = _doc_id(repo, path, commit)
+        text = py_preprocess_text(py_clean_text(content))
+        # regex model
+        for cat, pat in REGEX_MODEL_PATTERNS.items():
+            for m in re.finditer(pat, text):
+                out.append((did, "regex_model", cat, m.group(0), m.start(), m.end()))
+        # gazetteers with running-offset semantics
+        for model, gaz in (
+            ("gazetteer_conll_model", GAZETTEER_CONLL),
+            ("gazetteer_onto_model", GAZETTEER_ONTO),
+        ):
+            for surface, cat in gaz.items():
+                off = 0
+                while True:
+                    off = text.find(surface, off)
+                    if off < 0:
+                        break
+                    out.append((did, model, cat, surface, off, off + len(surface)))
+                    off += len(surface)
+    return set(out)
+
+
+def golden_triples(rows):
+    """Expected final triples from golden mentions + alias dict + CC."""
+    label_of = {}
+    for tnnt, by_model in LABEL_CLASSIFICATION.items():
+        for model, raw in by_model.items():
+            label_of[(model, raw)] = tnnt
+    cands = {}
+    for d in ALIAS_DICT:
+        cands.setdefault(d["alias"], []).append(d)
+
+    mentions = golden_mentions(rows)
+    linked = []
+    for did, model, cat, entity, s, e in mentions:
+        if entity not in cands:
+            continue
+        tnnt = label_of.get((model, cat))
+        best = max(
+            cands[entity],
+            key=lambda d: (
+                round(d["prior"] + (0.5 if d["tnnt_label"] == tnnt else 0.0), 6),
+                d["entity_id"],
+                d["canonical"],
+                d["tnnt_label"],
+            ),
+        )
+        linked.append((did, best["entity_id"], best["canonical"], best["tnnt_label"]))
+
+    # connected components over shared normalized canonical
+    def norm(c):
+        return re.sub("[^a-z0-9]", "", c.lower())
+
+    ids = sorted({(eid, norm(c)) for _, eid, c, _ in linked})
+    comp = {eid: eid for eid, _ in ids}
+    by_norm = {}
+    for eid, nk in ids:
+        by_norm.setdefault(nk, []).append(eid)
+    for nk, group in by_norm.items():
+        root = min(group)
+        for eid in group:
+            comp[eid] = root
+
+    # doc -> repo map for partOf triples
+    docs = set()
+    by_key = {}
+    for repo, path, commit, lang, content, sha in rows:
+        fname = path.rsplit("/", 1)[-1]
+        if not content or fname.startswith("~$"):
+            continue
+        k = (repo, path)
+        cur = by_key.get(k)
+        if cur is None or (commit, _doc_id(repo, path, commit)) > (cur[1], _doc_id(repo, path, cur[1])):
+            by_key[k] = (repo, commit)
+    for (repo, path), (r, commit) in by_key.items():
+        docs.add((_doc_id(repo, path, commit), repo))
+
+    triples = set()
+    for did, eid, canonical, tnnt in linked:
+        cid = comp[eid]
+        triples.add((did, "tnnt:mentions", cid))
+        triples.add((cid, "rdf:type", tnnt))
+        triples.add((cid, "tnnt:label", canonical))
+    for did, repo in docs:
+        triples.add((did, "tnnt:partOf", repo))
+    return triples
+
+
+@pytest.fixture(scope="module")
+def result(spark, code_files):
+    return run_pipeline(spark, code_files)
+
+
+def test_mentions_match_golden(result, code_files):
+    rows = generate_code_files_rows(120, 42)
+    golden = golden_mentions(rows)
+    got = {
+        (r["doc_id"], r["model"], r["category"], r["entity"], r["start_index"], r["end_index"])
+        for r in result.mentions.collect()
+    }
+    assert got == golden  # P = R = 1.0
+
+
+def test_mention_offset_properties(result):
+    rows = result.mentions.join(
+        result.metadata.select("doc_id", "preproc_text"), "doc_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        t = r["preproc_text"]
+        assert 0 <= r["start_index"] < r["end_index"] <= len(t)
+        assert t[r["start_index"] : r["end_index"]] == r["entity"]
+        assert r["sentence"] == py_context_sentence(r["start_index"], t)
+
+
+def test_triples_match_golden(result, code_files):
+    rows = generate_code_files_rows(120, 42)
+    golden = golden_triples(rows)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in result.triples.collect()}
+    tp = len(got & golden)
+    precision = tp / len(got)
+    recall = tp / len(golden)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == golden  # stronger than the P/R gate on this fixture
+
+
+def test_ambiguous_alias_resolution(result):
+    # "Margaret Hamilton" must link to the software pioneer (prior 0.90 +
+    # label match) not the actress (0.40)
+    picks = (
+        result.linked.where(F.col("entity") == "Margaret Hamilton")
+        .select("entity_id")
+        .distinct()
+        .collect()
+    )
+    assert [r["entity_id"] for r in picks] == ["ent:margaret_hamilton"]
+
+
+def test_sha_invariant_quarantine(spark, code_files, result):
+    bad = code_files.limit(3).withColumn("content_sha", F.lit("deadbeef"))
+    res = run_pipeline(spark, code_files.unionByName(bad))
+    assert res.quarantined.count() == 3
+    # quarantined rows never reach the metadata stage: same doc set as
+    # the clean run
+    assert res.metadata.count() == result.metadata.count()
+    assert res.metadata.where(F.col("content_sha") == "deadbeef").count() == 0
+
+
+def test_resume_is_noop(spark, code_files):
+    tmp = tempfile.mkdtemp(prefix="lineage_")
+    try:
+        path = f"{tmp}/lineage"
+        r1 = run_pipeline(spark, code_files, lineage_path=path)
+        n1 = r1.metadata.count()
+        assert n1 > 0
+        from mel_tnnt_spark.operators.lineage import record_done
+
+        record_done(r1.metadata, path, "kg", "batch1")
+        r2 = run_pipeline(spark, code_files, lineage_path=path)
+        assert r2.metadata.count() == 0  # second run over same snapshot: no-op
+        assert r2.mentions.count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_connected_components_basic(spark):
+    from mel_tnnt_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"), ("f", "f")}

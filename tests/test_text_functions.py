@@ -1,0 +1,88 @@
+"""Unit tests for the F1-F8/A2/A3 text layer: the Spark-side
+implementations must agree with the reference-faithful python versions
+(which are themselves transcriptions of code/MEL/__init__.py:920-982 and
+code/NLP_NER/EntityRecognition.py:793-832)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.functions.text import (
+    clean_text_udf,
+    keyword_counts,
+    pattern_match_counts,
+    preprocess_text_col,
+    py_clean_text,
+    py_context_sentence,
+    py_extract_keywords,
+    py_pattern_matching,
+    py_preprocess_text,
+)
+
+SAMPLES = [
+    "Plain ascii text. Two sentences here.",
+    "Unicode: café naïve – dash ’quote’  nbsp bell",
+    "Email a.b@x.co and URL https://www.example.org/page plus $1,234.56",
+    "ALL-CAPS and IDs 2021-456 and phone +61 2 6125 0000 ok",
+    "brackets [x] (y) {z} and\nnewlines\r\nhere\ttabs",
+    "",
+]
+
+
+def test_clean_and_preprocess_parity(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id int, raw string")
+    got = (
+        df.withColumn("clean", clean_text_udf("raw"))
+        .withColumn("prep", preprocess_text_col(F.col("clean")))
+        .orderBy("id")
+        .collect()
+    )
+    for row, raw in zip(got, SAMPLES):
+        assert row["clean"] == py_clean_text(raw)
+        assert row["prep"] == py_preprocess_text(py_clean_text(raw))
+
+
+def test_keyword_counts_parity(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id int, text string")
+    got = keyword_counts(df, "id", "text").collect()
+    by_id: dict[int, dict[str, int]] = {}
+    for r in got:
+        by_id.setdefault(r["id"], {})[r["word"]] = r["cnt"]
+    for i, s in enumerate(SAMPLES):
+        assert by_id.get(i, {}) == py_extract_keywords(s)
+
+
+def test_pattern_match_counts_parity(spark):
+    # patterns portable between Java regex and python re (the full
+    # reference URL pattern has (?!...) which Java also supports; the
+    # tuple-joining findall semantics differ, so compare on the
+    # non-group patterns here and cover group patterns via py_* only)
+    pats = {
+        "e-mails": r"[\w\.-]+@[\w\.-]+\.\w+",
+        "phone-numbers": r"[\+\(]?[0-9][0-9 .\-\(\)]{8,}[0-9]",
+    }
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id int, text string")
+    got = pattern_match_counts(df, "id", "text", pats).collect()
+    by_key = {(r["id"], r["pattern"], r["match"]): r["cnt"] for r in got}
+    for i, s in enumerate(SAMPLES):
+        ref = py_pattern_matching(s)
+        for name in pats:
+            for m, c in ref[name].items():
+                assert by_key.get((i, name, m)) == c, (i, name, m)
+
+
+def test_pattern_matching_reference_shapes():
+    out = py_pattern_matching("Contact a.b@x.co or visit https://www.example.org now $12.50 2021-456")
+    assert out["e-mails"] == {"a.b@x.co": 1}
+    assert "IDs-start-with-year" in out and out["IDs-start-with-year"] == {"2021-456": 1}
+    assert list(out["money-amounts-with-decimals"])  # tuple-join semantics produce a key
+
+
+def test_context_sentence_reference_semantics():
+    text = "First one. Second two. Third three."
+    # offset 0 is in the first sentence
+    assert py_context_sentence(0, text) == "First one"
+    # offset just past the first period lands in sentence 2 (reference
+    # counts +1 per period, code/NLP_NER/EntityRecognition.py:825-832)
+    assert py_context_sentence(12, text) == " Second two"
+    assert py_context_sentence(len(text) - 1, text) == " Third three"
