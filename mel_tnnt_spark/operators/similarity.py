@@ -1,0 +1,85 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact; one pass, no shuffle beyond
+the top-k aggregation). Scale path: pivot-signature LSH — bucket by the
+sign pattern of dot products against P pivot vectors (deterministic:
+the first P dataset vectors), search only the query's bucket, rerank
+exactly. Both stay JVM-side (aggregate/zip_with higher-order
+functions); no UDFs.
+
+At 100 TB the brute-force variant is a full scan per query — fine for
+batch scoring (it vectorizes and prunes to one column), while the
+bucketed variant cuts candidates by ~2^P for online lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"))
+
+
+def with_query(emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float]) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("q", q)
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to query_vec.
+    Deterministic order: (-cosine, id). Top-k via sort+limit — Spark
+    plans this as TakeOrderedAndProject (per-partition heap + driver
+    merge), no full sort, no full shuffle."""
+    scored = with_query(emb, id_col, vec_col, query_vec).select(
+        F.col("id").alias(id_col),
+        F.round(_dot("v", "q") / (_norm("v") * _norm("q")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def pivot_signature(emb: DataFrame, id_col: str, vec_col: str, pivots: list[list[float]]) -> DataFrame:
+    """Bucket id = concatenated signs of dot(v, pivot_i). Pivots are
+    data-derived (first P vectors) so Spark and the SQL oracle agree."""
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    sig = F.concat(
+        *[
+            (_dot("v", f"array({','.join(f'{x!r}D' for x in p)})") >= 0).cast("int").cast("string")
+            for p in pivots
+        ]
+    )
+    return v.withColumn("bucket", sig)
+
+
+def bucketed_ann(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """LSH-bucketed ANN: restrict to the query's pivot-sign bucket, then
+    exact cosine rerank. Recall < 1 by construction (approximate)."""
+    import math
+
+    qsig = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in pivots
+    )
+    bucketed = pivot_signature(emb, id_col, vec_col, pivots).where(F.col("bucket") == qsig)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = bucketed.withColumn("q", q).select(
+        F.col("id").alias(id_col),
+        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -1,0 +1,85 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These extend the reference's Text.analysis surface
+(code/MEL/__init__.py:971-982) with the curation metrics a 100 TB
+pretraining pipeline needs. All JVM-side expressions (codegen-friendly,
+oracle-checkable); semantics are pinned so DuckDB SQL reproduces them
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words: tiny deterministic profile per language.
+# A real deployment swaps in a fastText-style model behind the same
+# column contract; the heuristic keeps tests/oracles exact.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _marker_score(text_col: str, words: tuple[str, ...]) -> Column:
+    """Count of marker-word occurrences as whole tokens."""
+    s = None
+    for w in words:
+        c = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '\\\\b{w}\\\\b', 0)"))
+        s = c if s is None else s + c
+    return s
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language = argmax marker score; 'und' when all zero.
+    Deterministic tie-break by language code order."""
+    scored = df.select(
+        F.col(id_col),
+        *[_marker_score(text_col, ws).alias(f"s_{lang}") for lang, ws in LANG_MARKERS.items()],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{language}") for language in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality signals: n_chars, n_tokens, mean token length, alpha
+    ratio, punct ratio, stopword-ish ratio — rounded to 4dp so floating
+    point agrees across engines."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)")
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = _marker_score(text_col, LANG_MARKERS["en"])
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_tok_len"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (word-piece proxy: alnum runs + punctuation marks each count)."""
+    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
+    return df.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowered
+    text (stable across engines; the rolling-hash variant for partial
+    overlap detection is shingles+minhash in operators/dedup.py)."""
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,133 @@
+"""Tests for the training-data curation operators (dedup, similarity,
+textstats, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark shuffle partitions"),
+        (5, "el gato y el perro de la casa que los vio"),
+        (6, "spark shuffle partitions differ completely in this text about nothing"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string").cache()
+
+
+def test_exact_dedup(docs):
+    from mel_tnnt_spark.operators.dedup import exact_dedup
+
+    got = {(r["survivor_id"], r["group_size"]) for r in exact_dedup(docs, "id", "text").collect()}
+    assert (1, 2) in got  # docs 1,2 collapse, survivor = min id
+    assert sum(g for _, g in got) == 6
+
+
+def test_ngram_jaccard(docs):
+    from mel_tnnt_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_finds_dups(docs):
+    from mel_tnnt_spark.operators.dedup import minhash_lsh_pairs
+
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "id", "text").collect()}
+    assert (1, 2) in cand  # identical docs always collide in every band
+
+
+def test_simhash_close_for_near_dups(docs):
+    from mel_tnnt_spark.operators.dedup import simhash
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_exact(spark):
+    from mel_tnnt_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = cosine_topk(emb, "vec_id", "embedding", qv, k=5).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-4
+    # python-side oracle over the full set
+    rows = emb.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = sorted(
+        ((round(cos([float(x) for x in r["embedding"]], qv), 6), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [(r["cosine"], r["vec_id"]) for r in got] == expect
+
+
+def test_bucketed_ann_recall(spark):
+    from mel_tnnt_spark.operators.similarity import bucketed_ann, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.orderBy("vec_id").limit(2).collect()
+    pivots = [[float(x) for x in r["embedding"]] for r in first]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    approx = bucketed_ann(emb, "vec_id", "embedding", qv, pivots, k=5).collect()
+    assert approx and approx[0]["vec_id"] == 7  # query vector is in its own bucket
+    exact_ids = {r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", qv, k=5).collect()}
+    # approximate: expect some overlap with exact top-5, not none
+    assert {r["vec_id"] for r in approx} & exact_ids
+
+
+def test_lang_id_and_quality(docs):
+    from mel_tnnt_spark.operators.textstats import lang_id, quality_score, token_count, fingerprint
+
+    langs = {r["id"]: r["pred_lang"] for r in lang_id(docs, "id", "text").collect()}
+    assert langs[1] == "en" and langs[5] == "es"
+    q = {r["id"]: r for r in quality_score(docs, "id", "text").collect()}
+    assert q[1]["n_tokens"] == 9 and 0 < q[1]["alpha_ratio"] < 1
+    t = {r["id"]: r for r in token_count(docs, "id", "text").collect()}
+    assert t[1]["ws_tokens"] == 9 and t[1]["bpe_tokens"] == 9
+    fp = {r["id"]: r["fingerprint"] for r in fingerprint(docs, "id", "text").collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    from mel_tnnt_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        ("m1", "image", "image/png", bytearray(b"\x89PNG fake bytes")),
+        ("m2", "image", "image/jpeg", bytearray(b"\xff\xd8 other bytes")),
+        ("v1", "video", "video/mp4", bytearray(b"\x00" * 4096)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    assert set(feats) == {"m1", "m2"}
+    assert feats["m1"]["width"] >= 16 and feats["m1"]["phash"]
+    # deterministic: same payload -> same fake features
+    feats2 = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    assert feats == feats2
+    plan = frame_sample_plan(media, every_n=2).collect()
+    assert all(r["media_id"] == "v1" for r in plan) and len(plan) >= 2
+
+    import pandas as pd
+    from mel_tnnt_spark.operators.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.DataFrame({"media_id": ["x"], "payload": [b""]}), fake=False)
