@@ -1,38 +1,700 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data curation operators), each with a
+DuckDB-runnable `oracle_sql()` twin. Column names and rounding are
+pinned identically on both sides.
+
+Naming: q<nn>_<survey-op-id>_<what>.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mel_tnnt_spark.config import STOPWORDS  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+ENTITY_VOCAB = ("spark", "query", "table", "join", "data", "filter", "window")
+
+
+def _containment_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — containment theta-join: broadcast entity vocabulary vs the
+    documents corpus; occurrence counts per (doc, entity). (Reference:
+    species-names-in-assessments scan, code/MEL/DoEE_Species.py:279-393.)"""
+    docs = _t(spark, sf_dir, "documents")
+    names = spark.createDataFrame([(e,) for e in ENTITY_VOCAB], "entity string")
+    return (
+        docs.join(F.broadcast(names))
+        .withColumn(
+            "cnt",
+            F.size(
+                F.expr("regexp_extract_all(text, concat('\\\\b', entity, '\\\\b'), 0)")
+            ).cast("long"),
+        )
+        .where(F.col("cnt") > 0)
+        .select("doc_id", "entity", "cnt")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: containment mention scan + per-entity corpus summary
+    (A5/A8 shape) over sf0.001."""
+    m = _containment_mentions(spark, "/root/testdata/sf0.001")
+    return m.groupBy("entity").agg(
+        F.sum("cnt").alias("total_mentions"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("cnt"), 4).alias("mean_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_SQL: dict[str, str] = {}
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _Q[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+_STOPLIST_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+# --- scans / filters / TPC-H-ish relational plumbing -----------------------
+
+@_q(
+    "q01_a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q02_j1_broadcast_join_agg",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "q03_j1_multijoin_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --- windows (W2/W3/W4) ------------------------------------------------------
+
+@_q(
+    "q04_w3_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q04(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@_q(
+    "q05_a13_time_span_per_type",
+    """
+    SELECT event_type,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_sec
+    FROM events GROUP BY event_type
+    """,
+)
+def q05(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.expr(
+            "(unix_micros(cast(max(ts) as timestamp)) - unix_micros(cast(min(ts) as timestamp)))"
+            " div 1000000"
+        ).alias("span_sec"),
+    )
+
+
+@_q(
+    "q06_a9_value_buckets",
+    """
+    SELECT CASE WHEN value < 50 THEN 'small' WHEN value < 150 THEN 'medium' ELSE 'large' END AS bucket,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q06(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "small").when(F.col("value") < 150, "medium").otherwise("large")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@_q(
+    "q15_w2_pagination",
+    """
+    SELECT doc_id, rn, (rn - 1) // 50 AS page FROM (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents)
+    """,
+)
+def q15(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn")
+        )
+        .withColumn("page", F.expr("(rn - 1) div 50").cast("long"))
+    )
+
+
+@_q(
+    "q16_w4_topk_docs",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+)
+def q16(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+# --- joins / set ops (J4/J5/J6/J7/SO2/SO3) ----------------------------------
+
+@_q(
+    "q07_j5_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q07(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "q08_so2_shared_vocabulary",
+    """
+    SELECT word FROM (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents WHERE lang = 'en')
+    INTERSECT
+    SELECT word FROM (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents WHERE lang = 'es')
+    """,
+)
+def q08(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+
+    def words(lang):
+        return (
+            docs.where(F.col("lang") == lang)
+            .select(F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("word"))
+            .distinct()
+        )
+
+    return words("en").intersect(words("es"))
+
+
+@_q(
+    "q09_j4_duplicate_orderkeys",
+    "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1",
+)
+def q09(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+@_q(
+    "q12_j6_containment_mentions",
+    f"""
+    SELECT d.doc_id, e.entity, len(regexp_extract_all(d.text, '\\b' || e.entity || '\\b')) AS cnt
+    FROM documents d
+    CROSS JOIN (VALUES {",".join(f"('{e}')" for e in ENTITY_VOCAB)}) e(entity)
+    WHERE len(regexp_extract_all(d.text, '\\b' || e.entity || '\\b')) > 0
+    """,
+)
+def q12(spark, sf_dir):
+    return _containment_mentions(spark, sf_dir)
+
+
+# --- text analysis (A2/A3) ---------------------------------------------------
+
+@_q(
+    "q10_a2_keyword_counts",
+    f"""
+    SELECT doc_id, word, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS word FROM documents)
+    WHERE lower(word) NOT IN ({_STOPLIST_SQL})
+    GROUP BY doc_id, word
+    """,
+)
+def q10(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).alias("word")
+    )
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return (
+        toks.where(~F.array_contains(stop, F.lower(F.col("word"))))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "q11_a3_pattern_match_counts",
+    """
+    SELECT doc_id, pattern, match, count(*) AS cnt FROM (
+      SELECT doc_id, 'numbers' AS pattern, unnest(regexp_extract_all(text, '[0-9]+')) AS match FROM documents
+      UNION ALL
+      SELECT doc_id, 'longwords' AS pattern, unnest(regexp_extract_all(text, '[a-z]{7,}')) AS match FROM documents)
+    GROUP BY doc_id, pattern, match
+    """,
+)
+def q11(spark, sf_dir):
+    from mel_tnnt_spark.functions.text import pattern_match_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pattern_match_counts(
+        docs, "doc_id", "text", {"numbers": "[0-9]+", "longwords": "[a-z]{7,}"}
+    )
+    return out.select("doc_id", "pattern", "match", F.col("cnt").cast("long").alias("cnt"))
+
+
+# --- summaries / stats (A5/A7/A8, rollup) -----------------------------------
+
+@_q(
+    "q13_a8_stats_per_lang",
+    """
+    SELECT lang,
+           max(n_chars) AS max_chars, min(n_chars) AS min_chars,
+           round(avg(n_chars), 4) AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           round(coalesce(stddev_samp(n_chars), 0), 4) AS stdev_chars,
+           round(coalesce(var_samp(n_chars), 0), 4) AS variance_chars,
+           round(quantile_cont(n_chars, 0.25), 4) AS q1_chars,
+           round(quantile_cont(n_chars, 0.75), 4) AS q3_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q13(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.max("n_chars").alias("max_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0)), 4).alias("stdev_chars"),
+        F.round(F.coalesce(F.var_samp("n_chars"), F.lit(0.0)), 4).alias("variance_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q1_chars"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q3_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "q14_a5_rollup_lang_source",
+    "SELECT lang, source, count(*) AS cnt FROM documents GROUP BY ROLLUP(lang, source)",
+)
+def q14(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").rollup("lang", "source").agg(F.count("*").alias("cnt"))
+
+
+@_q(
+    "q30_a8_mode_quantity_per_flag",
+    """
+    SELECT l_returnflag, l_quantity AS mode_qty FROM (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
+    """,
+)
+def q30(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+
+
+# --- dedup (exact / jaccard / minhash / simhash) -----------------------------
+
+@_q(
+    "q17_dd_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id, count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q17(spark, sf_dir):
+    from mel_tnnt_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q18_dd_ngram_jaccard_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents WHERE doc_id < 100),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1), i -> array_to_string(ws[i:i+1], ' '))) AS shingle
+      FROM w WHERE len(ws) >= 2),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.08
+    """,
+)
+def q18(spark, sf_dir):
+    from mel_tnnt_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+
+
+@_q(
+    "q19_dd_minhash_signatures",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents WHERE doc_id < 20),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM w WHERE len(ws) >= 3)
+    SELECT doc_id, seed,
+           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS minhash
+    FROM sh, range(8) r(seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def q19(spark, sf_dir):
+    from mel_tnnt_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    out = minhash_signatures(docs, "doc_id", "text", n=3, k=8)
+    return out.select(F.col("id").alias("doc_id"), F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+@_q(
+    "q20_dd_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id, t, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE doc_id < 50)
+      WHERE t <> '' GROUP BY doc_id, t),
+    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b, sum(cnt * (((h >> b) & 1) * 2 - 1)) AS s
+      FROM h, range(16) r(b) GROUP BY doc_id, b)
+    SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q20(spark, sf_dir):
+    from mel_tnnt_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return simhash(docs, "doc_id", "text", bits=16).select(
+        F.col("id").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+@_q(
+    "q21_sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q21(spark, sf_dir):
+    from mel_tnnt_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, "vec_id", "embedding", qv, k=10)
+
+
+@_q(
+    "q22_sim_bucketed_ann",
+    """
+    WITH p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
+         q  AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (list_dot_product(embedding::DOUBLE[], (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
+             (list_dot_product(embedding::DOUBLE[], (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS bucket
+      FROM embeddings),
+    qsig AS (
+      SELECT (list_dot_product((SELECT v FROM q), (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
+             (list_dot_product((SELECT v FROM q), (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS b)
+    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    FROM sig WHERE bucket = (SELECT b FROM qsig)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
+)
+def q22(spark, sf_dir):
+    from mel_tnnt_spark.operators.similarity import bucketed_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pivots = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    return bucketed_ann(emb, "vec_id", "embedding", qv, pivots, k=5)
+
+
+# --- curation text stats -----------------------------------------------------
+
+_MARKER_SQL = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in _MARKER_SQL[lang]
+    )
+
+
+@_q(
+    "q23_ts_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_marker_sql('de')} AS s_de, {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es, {_marker_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def q23(spark, sf_dir):
+    from mel_tnnt_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q24_ts_quality_score",
+    """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_calc,
+           len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens,
+           round(length(text) / greatest(len(regexp_extract_all(text, '[^ ]+')), 1), 4) AS mean_tok_len,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1), 4) AS punct_ratio,
+           round((len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b'))
+                + len(regexp_extract_all(lower(text), '\\bof\\b')) + len(regexp_extract_all(lower(text), '\\bto\\b'))
+                + len(regexp_extract_all(lower(text), '\\bin\\b')))
+                 / greatest(len(regexp_extract_all(text, '[^ ]+')), 1), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q24(spark, sf_dir):
+    from mel_tnnt_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q25_ts_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q25(spark, sf_dir):
+    from mel_tnnt_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q26_ts_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS bpe_tokens
+    FROM documents
+    """,
+)
+def q26(spark, sf_dir):
+    from mel_tnnt_spark.operators.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- connected components ----------------------------------------------------
+
+@_q(
+    "q28_cc_embedding_graph",
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+    p AS (SELECT a.id AS sa, b.id AS sb FROM e a, e b
+          WHERE a.id < b.id AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+    edges AS (SELECT sa, sb FROM p UNION SELECT sb AS sa, sa AS sb FROM p),
+    reach(node, r) AS (
+      SELECT id, id FROM e
+      UNION
+      SELECT reach.node, edges.sb FROM reach JOIN edges ON reach.r = edges.sa)
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def q28(spark, sf_dir):
+    from mel_tnnt_spark.operators.components import connected_components
+    from mel_tnnt_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    edges = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.25, n_prefix_buckets=0)
+    cc = connected_components(edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_SQL)

@@ -60,8 +60,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_hits = _marker_score(text_col, LANG_MARKERS["en"])
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_tok_len"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
@@ -74,7 +74,9 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (word-piece proxy: alnum runs + punctuation marks each count)."""
     ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
     bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
-    return df.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return df.select(
+        F.col(id_col), ws.cast("long").alias("ws_tokens"), bpe.cast("long").alias("bpe_tokens")
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

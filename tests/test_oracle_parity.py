@@ -1,0 +1,76 @@
+"""Emulates the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
+compare row count + column names + order-insensitive values.
+
+Runs at sf0.001 for speed (the driver uses sf0.01; semantics are
+scale-free)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return round(v, 9)
+        return round(v, 9)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
+    return v
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def _query_names():
+    import __spark_entry__ as e
+
+    return sorted(e.queries())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, name):
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    got_pdf = q(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert got_pdf is not None  # rows-only check, like the driver's
+        return
+    exp_pdf = _duck(sql)
+    gc, gr = _normalize(got_pdf)
+    ec, er = _normalize(exp_pdf)
+    assert gc == ec, f"{name}: column mismatch {gc} vs {ec}"
+    assert len(gr) == len(er), f"{name}: row count {len(gr)} vs {len(er)}"
+    mism = [(a, b) for a, b in zip(gr, er) if a != b][:5]
+    assert not mism, f"{name}: value mismatches (first 5): {mism}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and set(df.columns) == {"entity", "total_mentions", "n_docs", "mean_per_doc"}
