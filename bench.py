@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG pipeline
+on the synthetic code_files table (the BASELINE.md triples/sec number).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "kg": {...}}
+
+Queries execute via the noop sink so the measured cost is compute +
+shuffle, not driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_a1_pricing_summary",
+    "q02_j1_broadcast_join_agg",
+    "q03_j1_multijoin_revenue_by_nation",
+    "q04_w3_latest_event_per_user",
+    "q07_j5_customers_without_orders",
+    "q10_a2_keyword_counts",
+    "q12_j6_containment_mentions",
+    "q13_a8_stats_per_lang",
+    "q17_dd_exact_dedup",
+    "q18_dd_ngram_jaccard_pairs",
+    "q20_dd_simhash",
+    "q21_sim_cosine_topk",
+    "q28_cc_embedding_graph",
+]
+
+KG_ROWS_PER_SF = 100_000  # sf0.1 -> 10k synthetic source files
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from mel_tnnt_spark.session import get_spark
+
+    spark = get_spark("mel-tnnt-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan+codegen cached)
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # KG pipeline: synthetic source at sf-proportional size, end-to-end
+    # to a real partitioned parquet sink (triples/sec headline).
+    from mel_tnnt_spark.datagen import code_files_df
+    from mel_tnnt_spark.operators.triples import write_triples
+    from mel_tnnt_spark.pipeline import run_pipeline
+
+    import shutil
+    import tempfile
+
+    n_rows = max(200, int(KG_ROWS_PER_SF * sf)) if sf > 0 else 1000
+    src = code_files_df(spark, n_rows=n_rows, seed=42).cache()
+    src.count()  # materialize outside the timed window
+    out = tempfile.mkdtemp(prefix="bench_triples_")
+    t0 = time.time()
+    res = run_pipeline(spark, src)
+    write_triples(res.triples, f"{out}/triples")
+    kg_sec = time.time() - t0
+    n_triples = spark.read.parquet(f"{out}/triples").count()
+    shutil.rmtree(out, ignore_errors=True)
+    total += kg_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {**timings, "kg_pipeline": round(kg_sec, 3)},
+                "sf": sf,
+                "kg": {
+                    "source_rows": n_rows,
+                    "triples": n_triples,
+                    "sec": round(kg_sec, 3),
+                    "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec else None,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,14 +47,20 @@ def run_pipeline(
         lin = lineage.read_lineage(spark, lineage_path)
         meta = lineage.pending_only(meta, lin, stage)
 
+    # The MEL output feeds the mention stage, the doc dim, and the
+    # lineage writer — checkpoint so the pandas-UDF text stage runs once.
+    # (At cluster scale this is a persisted intermediate Iceberg table;
+    # localCheckpoint is the single-job equivalent.)
+    meta = meta.localCheckpoint(eager=True)
+
     ments = mentions.detect_mentions(meta)
     label_map = summaries.label_classification_df(spark)
     canon = summaries.canonicalize(ments, label_map)
 
     aliases = linking.alias_dict_df(spark)
     linked = linking.link_mentions(canon, aliases)
-    # linking + CC feed two consumers; avoid recomputing the python stage
-    linked = linked.localCheckpoint(eager=False)
+    # linking feeds CC + triples; materialize once
+    linked = linked.localCheckpoint(eager=True)
 
     ents = components.canonical_entities(linked)
     docs = meta.select("doc_id", "repo").distinct()

@@ -220,5 +220,13 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
     )
+    expect = {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"), ("f", "f")}
+    # driver union-find fast path
     got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
-    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"), ("f", "f")}
+    assert got == expect
+    # distributed iterative path must agree exactly
+    got_dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == expect
