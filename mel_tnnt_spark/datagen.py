@@ -114,6 +114,52 @@ def generate_code_files_rows(n_rows: int = 200, seed: int = 42) -> list[tuple]:
     return rows
 
 
+def _rows_for_index(i: int, seed: int, n_repos: int) -> list[tuple]:
+    """Pure function of (seed, index) -> the row(s) for one logical file.
+    Independent per-index RNG so generation distributes: any executor
+    can produce any index's rows with no sequential state."""
+    rng = random.Random((seed << 24) ^ i)
+    repo_idx = 0 if rng.random() < 0.4 else rng.randint(1, n_repos - 1)
+    repo = f"repo{repo_idx:03d}"
+    ext = rng.choice(_EXTS)
+    lang = _LANG_BY_EXT[ext]
+    protected = rng.random() < 0.02
+    base = f"{'~$' if protected else ''}mod_{i:07d}"
+    path = f"src/pkg{i % 7}/{base}.{ext}"
+    content = "" if rng.random() < 0.02 else _make_content(rng, lang, i)
+    versions = 2 if rng.random() < 0.10 else 1
+    out = []
+    for v in range(1, versions + 1):
+        c = content if v == versions else content + f"\n# stale v{v}"
+        sha = hashlib.sha256(c.encode()).hexdigest()
+        out.append((repo, path, _commit_hex(repo, path, v), lang, c, sha))
+    return out
+
+
+def code_files_distributed(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Executor-side generation via mapInPandas over an id range — the
+    scale path (no driver loop, no driver memory). Deterministic per
+    (seed, index); distribution-equivalent to generate_code_files_rows
+    but not row-identical (independent per-index RNG streams)."""
+    import pandas as pd
+
+    n_repos = max(3, n_rows // 40)
+    cols = [f.name for f in CODE_FILES_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for i in pdf["id"]:
+                rows.extend(_rows_for_index(int(i), seed, n_repos))
+            yield pd.DataFrame(rows, columns=cols)
+
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    return (
+        spark.range(0, n_rows, 1, n_parts)
+        .mapInPandas(gen, CODE_FILES_SCHEMA)
+    )
+
+
 def code_files_df(spark: SparkSession, n_rows: int = 200, seed: int = 42) -> DataFrame:
     """Materialize the synthetic source table.
 

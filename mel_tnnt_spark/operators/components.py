@@ -139,11 +139,16 @@ def similarity_edges(linked: DataFrame) -> DataFrame:
     )
 
 
-def canonical_entities(linked: DataFrame) -> DataFrame:
+def canonical_entities(linked: DataFrame, ent_dim: DataFrame | None = None) -> DataFrame:
     """Identity canonicalization: entity_id -> canonical component id.
-    Entities that never pair up keep themselves as component."""
-    edges = similarity_edges(linked)
-    nodes = linked.select("entity_id").distinct()
+    Entities that never pair up keep themselves as component.
+
+    Pass `ent_dim` (pre-distincted (entity_id, canonical, ...)) to avoid
+    re-shuffling the full mention table — the blocking join, CC, and the
+    final mapping then touch only the entity dim."""
+    base = ent_dim if ent_dim is not None else linked
+    edges = similarity_edges(base)
+    nodes = base.select("entity_id").distinct()
     cc = connected_components(edges)
     return nodes.join(cc, nodes["entity_id"] == cc["node"], "left").select(
         "entity_id", F.coalesce("component", F.col("entity_id")).alias("canonical_id")

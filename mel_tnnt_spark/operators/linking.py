@@ -33,6 +33,39 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
+    """Pre-resolve the best candidate per (alias, mention-label) on the
+    dictionary side. The score depends only on (prior, candidate label,
+    mention label), so top-1 selection can happen on the tiny broadcast
+    dim instead of a groupBy over every mention — the linking stage then
+    becomes a single shuffle-free broadcast join.
+
+    `labels` enumerates the possible mention tnnt labels (plus NULL for
+    unmapped categories)."""
+    lab = aliases.sparkSession.createDataFrame(
+        [(x,) for x in labels] + [(None,)], "label string"
+    )
+    scored = aliases.crossJoin(lab).withColumn(
+        "score",
+        F.round(
+            F.col("prior")
+            + F.when(F.col("tnnt_label") == F.col("label"), F.lit(0.5)).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    pick = scored.groupBy("alias", "label").agg(
+        F.max(F.struct("score", "entity_id", "canonical", F.col("tnnt_label").alias("cand_label"))).alias("_b")
+    )
+    return pick.select(
+        F.col("alias").alias("entity"),
+        "label",
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.canonical").alias("canonical"),
+        F.col("_b.cand_label").alias("linked_label"),
+        F.col("_b.score").alias("score"),
+    )
+
+
 def link_candidates(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """Candidate generation: broadcast equi-join mention surface ->
     alias. One mention may fan out to several candidates (ambiguous
@@ -72,5 +105,33 @@ def best_candidate(scored: DataFrame) -> DataFrame:
 
 
 def link_mentions(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
-    """Full linking: candidates -> scoring -> top-1."""
+    """Full linking via the pre-resolved broadcast dim: ZERO shuffle over
+    the mention table (the candidates->groupBy formulation shuffles every
+    mention row; equivalence of the two plans is pinned by tests)."""
+    from mel_tnnt_spark.config import LABEL_CLASSIFICATION
+
+    dim = resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION))
+    joined = canon_mentions.join(
+        F.broadcast(dim),
+        (canon_mentions["entity"] == dim["entity"]) & canon_mentions["tnnt_label"].eqNullSafe(dim["label"]),
+        "inner",
+    )
+    return joined.select(
+        canon_mentions["doc_id"],
+        canon_mentions["model"],
+        canon_mentions["category"],
+        canon_mentions["entity"],
+        canon_mentions["start_index"],
+        canon_mentions["end_index"],
+        dim["entity_id"],
+        dim["canonical"],
+        dim["linked_label"],
+        dim["score"],
+    )
+
+
+def link_mentions_via_groupby(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """The direct formulation (candidate fan-out -> struct-max per
+    mention). Kept for equivalence testing and for dictionaries too big
+    to pre-resolve per label."""
     return best_candidate(link_candidates(canon_mentions, aliases))

@@ -73,18 +73,41 @@ def latest_commit_only(df: DataFrame) -> DataFrame:
     wins among outputs sharing a base name
     (code/NLP_NER_API/interface/fileinfo.py:11-13).
 
-    Implemented with max_by-style struct-max aggregation rather than a
-    row_number window: a window over (repo, path) would sort every
-    partition; the struct-max aggregates map-side and shuffles only one
-    row per key — materially cheaper at 10^12 files.
+    Implemented as a single-pass max_by aggregation: one shuffle moving
+    each surviving row once, with map-side partial aggregation dropping
+    stale versions before they ever hit the wire. The alternatives all
+    cost more: a row_number window sorts and shuffles everything twice;
+    a key-only agg + join back either re-shuffles the wide rows or
+    builds a driver broadcast of every winning id (driver heap + GC).
+
+    Scale note: at 10^12 files the source table is bucketed by
+    (repo, path), making this aggregation shuffle-free, or the dedup
+    happens at ingest via Iceberg MERGE; this operator is the
+    unbucketed-table fallback.
     """
-    picked = df.groupBy("repo", "path").agg(
-        F.max(F.struct(F.col("commit"), F.col("doc_id"))).alias("_pick")
+    cols = ", ".join(df.columns)
+    return (
+        df.groupBy("repo", "path")
+        .agg(F.expr(f"max_by(struct({cols}), struct(commit, doc_id))").alias("_r"))
+        .select("_r.*")
     )
-    return df.join(
-        picked.select("repo", "path", F.col("_pick.doc_id").alias("doc_id")),
-        ["repo", "path", "doc_id"],
-        "inner",
+
+
+def latest_commit_keys(df: DataFrame) -> DataFrame:
+    """Key-only variant of latest_commit_only: (repo, path, doc_id) of
+    the winning commit per path. Shuffles only the key columns — use it
+    for consumers that don't need text (doc dims, lineage), so the scan
+    stays column-pruned and no content byte moves."""
+    return (
+        df.select("repo", "path", "commit", "doc_id", "content_sha")
+        .groupBy("repo", "path")
+        .agg(F.max(F.struct(F.col("commit"), F.col("doc_id"), F.col("content_sha"))).alias("_p"))
+        .select(
+            "repo",
+            "path",
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_p.content_sha").alias("content_sha"),
+        )
     )
 
 

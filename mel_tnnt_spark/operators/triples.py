@@ -23,23 +23,45 @@ from pyspark.sql import functions as F
 TRIPLE_COLS = ("subj", "pred", "obj")
 
 
-def build_triples(docs: DataFrame, linked: DataFrame, entities: DataFrame) -> DataFrame:
+def build_triples(
+    docs: DataFrame,
+    linked: DataFrame,
+    entities: DataFrame,
+    ent_dim: DataFrame | None = None,
+) -> DataFrame:
     """docs: (doc_id, repo) rows; linked: output of link_mentions;
-    entities: (entity_id, canonical_id) from canonical_entities."""
-    resolved = linked.join(entities, "entity_id", "left").withColumn(
-        "canonical_id", F.coalesce("canonical_id", F.col("entity_id"))
+    entities: (entity_id, canonical_id) from canonical_entities;
+    ent_dim: optional pre-distincted (entity_id, canonical, linked_label)
+    dim (pass it to avoid recomputing the distinct).
+
+    Shuffle budget: exactly ONE wide shuffle over the mention table (the
+    doc-entity distinct); the entity-level triples derive from the tiny
+    dim and everything else is broadcast."""
+    if ent_dim is None:
+        ent_dim = linked.select("entity_id", "canonical", "linked_label").distinct()
+    # The resolved dim feeds three union branches + a broadcast — pin it
+    # so those branches don't each re-run the dim's upstream plan.
+    ent_resolved = (
+        ent_dim.join(entities, "entity_id", "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col("entity_id")))
+        .localCheckpoint(eager=True)
     )
-    mentions_t = resolved.select(
-        F.col("doc_id").alias("subj"),
-        F.lit("tnnt:mentions").alias("pred"),
-        F.col("canonical_id").alias("obj"),
-    ).distinct()
-    type_t = resolved.select(
+    doc_ent = linked.select("doc_id", "entity_id").distinct()  # the one big shuffle
+    mentions_t = (
+        doc_ent.join(F.broadcast(ent_resolved.select("entity_id", "canonical_id")), "entity_id")
+        .select(
+            F.col("doc_id").alias("subj"),
+            F.lit("tnnt:mentions").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()  # cheap: several entity_ids may share a canonical_id
+    )
+    type_t = ent_resolved.select(
         F.col("canonical_id").alias("subj"),
         F.lit("rdf:type").alias("pred"),
         F.col("linked_label").alias("obj"),
     ).distinct()
-    label_t = resolved.select(
+    label_t = ent_resolved.select(
         F.col("canonical_id").alias("subj"),
         F.lit("tnnt:label").alias("pred"),
         F.col("canonical").alias("obj"),

@@ -47,11 +47,14 @@ def run_pipeline(
         lin = lineage.read_lineage(spark, lineage_path)
         meta = lineage.pending_only(meta, lin, stage)
 
-    # The MEL output feeds the mention stage, the doc dim, and the
-    # lineage writer — checkpoint so the pandas-UDF text stage runs once.
-    # (At cluster scale this is a persisted intermediate Iceberg table;
-    # localCheckpoint is the single-job equivalent.)
-    meta = meta.localCheckpoint(eager=True)
+    # No checkpoint here: the text columns have exactly ONE consumer
+    # (the mention stage, whose output is checkpointed below), so MEL →
+    # mentions → linking fuses into a single pass over the source. The
+    # doc-dim / lineage consumers of `meta` re-derive only pruned
+    # columns — Catalyst drops the text-analysis UDFs for them.
+    meta = meta.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha", "preproc_text"
+    )
 
     ments = mentions.detect_mentions(meta)
     label_map = summaries.label_classification_df(spark)
@@ -62,9 +65,27 @@ def run_pipeline(
     # linking feeds CC + triples; materialize once
     linked = linked.localCheckpoint(eager=True)
 
-    ents = components.canonical_entities(linked)
-    docs = meta.select("doc_id", "repo").distinct()
-    trip = triples.build_triples(docs, linked, ents)
+    # One distinct over the big table yields the tiny entity dim shared
+    # by identity canonicalization and the entity-level triples.
+    # Materialize both tiny frames: they fan out into several plan
+    # branches (broadcasts, unions) and would otherwise re-run their
+    # upstream (incl. the big distinct and the CC) once per branch.
+    ent_dim = (
+        linked.select("entity_id", "canonical", "linked_label")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ents = components.canonical_entities(linked, ent_dim=ent_dim).localCheckpoint(eager=True)
+    # Doc dim via the key-only dedup: no content bytes shuffle for this
+    # consumer (the wide max_by would drag `content` through the wire
+    # just to emit (doc_id, repo)). Resume filtering applies here too.
+    docs = metadata.latest_commit_keys(
+        metadata.filter_processable(metadata.with_general_metadata(valid))
+    )
+    if lineage_path is not None:
+        docs = lineage.pending_only(docs, lin, stage)
+    docs = docs.select("doc_id", "repo")
+    trip = triples.build_triples(docs, linked, ents, ent_dim=ent_dim)
 
     return PipelineResult(
         source_valid=valid,

@@ -1,0 +1,121 @@
+"""Scaling-efficiency evidence: the identical KG job at two parallelism
+levels (local[N] vs local[4N]) on the same input, per the BASELINE.json
+two-cluster-size criterion (no real cluster in this sandbox).
+
+Efficiency = (T_N / T_4N) / 4  (1.0 = perfect linear scaling).
+
+Methodology (documented in BENCH.md):
+- fresh JVM subprocess per trial, trials interleaved N,4N,N,4N,... so
+  slow hypervisor drift hits both levels equally; min-of-trials is the
+  estimator (standard for noisy benchmarks).
+- warm-up pass per subprocess: python workers + codegen JIT are a fixed
+  cold-start cost, not a scaling property of the engine.
+- scratch + sink on tmpfs: a 4N-executor cluster has 4N local disks;
+  a single shared sandbox disk would measure the disk, not the engine.
+
+Usage: python scripts/scaling.py [--rows 400000] [--n 2] [--trials 3]
+Prints one JSON line and a markdown table row for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_once(cores: int, rows: int) -> tuple[float, int]:
+    from mel_tnnt_spark.session import get_spark
+    from mel_tnnt_spark.datagen import code_files_distributed
+    from mel_tnnt_spark.operators.triples import write_triples
+    from mel_tnnt_spark.pipeline import run_pipeline
+
+    spark = get_spark(
+        f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-scaling",
+            "spark.driver.memory": "24g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    src = code_files_distributed(spark, n_rows=rows, seed=42).cache()
+    src.count()
+    warm = run_pipeline(spark, src)
+    warm.triples.write.format("noop").mode("overwrite").save()
+    out = tempfile.mkdtemp(prefix=f"scaling_{cores}_", dir="/dev/shm")
+    t0 = time.time()
+    res = run_pipeline(spark, src)
+    write_triples(res.triples, f"{out}/triples", n_buckets=8)
+    dt = time.time() - t0
+    n = spark.read.parquet(f"{out}/triples").count()
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400000)
+    ap.add_argument("--n", type=int, default=2, help="small parallelism; large = 4n")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--single", type=int, default=0, help="internal: one measurement")
+    args = ap.parse_args()
+
+    if args.single:
+        dt, n = run_once(args.single, args.rows)
+        print(json.dumps({"dt": dt, "n": n}))
+        return
+
+    best: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    levels = [args.n, args.n * 4]
+    for _ in range(args.trials):
+        for cores in levels:
+            out = subprocess.run(
+                [sys.executable, __file__, "--single", str(cores), "--rows", str(args.rows)],
+                capture_output=True,
+                text=True,
+                cwd=str(REPO),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            best[cores] = min(best.get(cores, float("inf")), r["dt"])
+            counts[cores] = r["n"]
+    assert counts[levels[0]] == counts[levels[1]], f"triple counts diverged: {counts}"
+    n1 = counts[levels[0]]
+    t_small, t_large = best[levels[0]], best[levels[1]]
+    eff = (t_small / t_large) / 4
+    thr_small, thr_large = n1 / t_small, n1 / t_large
+    print(
+        json.dumps(
+            {
+                "rows": args.rows,
+                "triples": n1,
+                "n_cores": args.n,
+                "trials": args.trials,
+                "t_n_sec": round(t_small, 2),
+                "t_4n_sec": round(t_large, 2),
+                "triples_per_sec_n": round(thr_small, 1),
+                "triples_per_sec_4n": round(thr_large, 1),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+    print(
+        f"| {args.rows} | {n1} | local[{args.n}]: {t_small:.1f}s ({thr_small:.0f}/s) "
+        f"| local[{args.n * 4}]: {t_large:.1f}s ({thr_large:.0f}/s) | {eff:.3f} |"
+    )
+
+
+if __name__ == "__main__":
+    main()

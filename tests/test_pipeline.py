@@ -214,6 +214,17 @@ def test_resume_is_noop(spark, code_files):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_linking_plans_equivalent(spark, result):
+    """The zero-shuffle broadcast-dim linking must produce exactly the
+    rows of the direct candidates->groupBy formulation."""
+    from mel_tnnt_spark.operators.linking import alias_dict_df, link_mentions_via_groupby
+
+    via_groupby = link_mentions_via_groupby(result.canon, alias_dict_df(spark))
+    a = {tuple(r) for r in result.linked.collect()}
+    b = {tuple(r) for r in via_groupby.select(*result.linked.columns).collect()}
+    assert a == b and a
+
+
 def test_connected_components_basic(spark):
     from mel_tnnt_spark.operators.components import connected_components
 
