@@ -125,6 +125,27 @@ def detect_mentions_py(doc_id: str, text: str, models: tuple[str, ...]) -> list[
     return out
 
 
+class SentenceLookup:
+    """O(log n) version of py_context_sentence: precompute the running
+    sentence-boundary totals once per doc, bisect per mention. Exactly
+    the reference semantics (split on '.', +1 per period,
+    code/NLP_NER/EntityRecognition.py:825-832)."""
+
+    __slots__ = ("parts", "totals")
+
+    def __init__(self, text: str):
+        import itertools
+
+        self.parts = text.split(".")
+        self.totals = list(itertools.accumulate(len(p) + 1 for p in self.parts))
+
+    def __call__(self, start_char: int) -> str | None:
+        from bisect import bisect_left
+
+        i = bisect_left(self.totals, start_char + 1)
+        return self.parts[i] if i < len(self.parts) else None
+
+
 def detect_mentions(
     df: DataFrame,
     models: tuple[str, ...] = ("regex_model", "gazetteer_conll_model", "gazetteer_onto_model"),
@@ -134,18 +155,39 @@ def detect_mentions(
 
     Only the two needed columns cross the Arrow boundary (column pruning
     by construction); batch size is bounded by
-    spark.sql.execution.arrow.maxRecordsPerBatch.
-    """
+    spark.sql.execution.arrow.maxRecordsPerBatch. The hot loop builds
+    columnar lists (no per-row dicts) and shares one SentenceLookup per
+    doc; equivalence with the reference semantics is pinned by the
+    golden tests."""
     narrow = df.select("doc_id", F.col(text_col).alias("_text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        registry = _detectors()
         cols = [f.name for f in MENTION_SCHEMA.fields]
         for pdf in batches:
-            rows: list[dict] = []
+            c_doc: list = []
+            c_model: list = []
+            c_cat: list = []
+            c_ent: list = []
+            c_s: list = []
+            c_e: list = []
+            c_sent: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
-                if text:
-                    rows.extend(detect_mentions_py(doc_id, text, models))
-            yield pd.DataFrame(rows, columns=cols)
+                if not text:
+                    continue
+                lookup = SentenceLookup(text)
+                for model in models:
+                    for category, entity, start, end in registry[model](text):
+                        c_doc.append(doc_id)
+                        c_model.append(model)
+                        c_cat.append(category)
+                        c_ent.append(entity)
+                        c_s.append(start)
+                        c_e.append(end)
+                        c_sent.append(lookup(start))
+            yield pd.DataFrame(
+                dict(zip(cols, [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]))
+            )
 
     return narrow.mapInPandas(run, MENTION_SCHEMA)
 

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the operators must stay on the fast path —
+pushdown reaches the scan, no row-at-a-time Python UDFs, dims broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.plans.analyze import formatted_plan, plan_flags
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in p
+    # column pruning: scan schema carries only the two needed columns
+    assert "l_extendedprice" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_no_row_udfs_anywhere_in_pipeline(spark, code_files):
+    from mel_tnnt_spark.pipeline import run_pipeline
+
+    res = run_pipeline(spark, code_files)
+    for df in (res.mentions, res.triples, res.summary_by_category):
+        flags = plan_flags(df)
+        assert flags["row_udfs"] == 0, "row-at-a-time python UDF crept in"
+
+
+def test_linking_is_broadcast_no_shuffle(spark, code_files):
+    from mel_tnnt_spark.operators import linking, mentions, metadata, summaries
+    from mel_tnnt_spark.operators.lineage import enforce_sha_invariant
+
+    valid, _ = enforce_sha_invariant(code_files)
+    meta = metadata.mel_stage(valid)
+    m = mentions.detect_mentions(meta)
+    canon = summaries.canonicalize(m, summaries.label_classification_df(spark))
+    aliases = linking.alias_dict_df(spark)
+    linked = linking.link_mentions(canon, aliases)
+
+    def shuffles(df):
+        p = formatted_plan(df)
+        return p.count("Exchange") - p.count("BroadcastExchange")
+
+    from mel_tnnt_spark.config import LABEL_CLASSIFICATION
+
+    dim = linking.resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION))
+    # linking adds ZERO shuffles on the mention path: every Exchange in
+    # the linked plan is already in its inputs (canon + tiny dim)
+    assert shuffles(linked) == shuffles(canon) + shuffles(dim)
+    assert plan_flags(linked)["broadcast_joins"] >= 2  # label map + alias dim
+
+
+def test_broadcast_join_in_entry_queries(spark):
+    import __spark_entry__ as e
+
+    q02 = e.queries()["q02_j1_broadcast_join_agg"](spark, SF)
+    assert plan_flags(q02)["broadcast_joins"] >= 1
+    q12 = e.queries()["q12_j6_containment_mentions"](spark, SF)
+    assert plan_flags(q12)["row_udfs"] == 0
+    assert plan_flags(q12)["whole_stage_codegen"]

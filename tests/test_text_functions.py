@@ -78,6 +78,22 @@ def test_pattern_matching_reference_shapes():
     assert list(out["money-amounts-with-decimals"])  # tuple-join semantics produce a key
 
 
+def test_sentence_lookup_equivalence():
+    from mel_tnnt_spark.operators.mentions import SentenceLookup
+
+    texts = [
+        "First one. Second two. Third three.",
+        "no periods here at all",
+        "a.b.c.",
+        ". leading. and .. doubles .",
+        "",
+    ]
+    for t in texts:
+        lookup = SentenceLookup(t)
+        for off in range(0, len(t) + 3):
+            assert lookup(off) == py_context_sentence(off, t), (t, off)
+
+
 def test_context_sentence_reference_semantics():
     text = "First one. Second two. Third three."
     # offset 0 is in the first sentence
