@@ -697,6 +697,80 @@ def q28(spark, sf_dir):
     )
 
 
+# --- JSON path / wildcard search / regex scan / sampling ---------------------
+
+@_q(
+    "q31_p9_json_path",
+    """
+    SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q31(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q32_f16_wildcard_search",
+    """
+    WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+               FROM documents)
+    SELECT 'starts' AS match_type, word FROM w WHERE word LIKE 'sp%'
+    UNION ALL SELECT 'ends' AS match_type, word FROM w WHERE word LIKE '%ow'
+    UNION ALL SELECT 'contains' AS match_type, word FROM w WHERE word LIKE '%art%'
+    UNION ALL SELECT 'exact' AS match_type, word FROM w WHERE word = 'table'
+    """,
+)
+def q32(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("word")
+    ).distinct()
+    parts = [
+        w.where(F.col("word").startswith("sp")).select(F.lit("starts").alias("match_type"), "word"),
+        w.where(F.col("word").endswith("ow")).select(F.lit("ends").alias("match_type"), "word"),
+        w.where(F.col("word").contains("art")).select(F.lit("contains").alias("match_type"), "word"),
+        w.where(F.col("word") == "table").select(F.lit("exact").alias("match_type"), "word"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
+    "q33_s4_regex_scan",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE lang = 'en' AND regexp_matches(text, 'spark .* join|join .* spark')
+    """,
+)
+def q33(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        (F.col("lang") == "en") & F.col("text").rlike("spark .* join|join .* spark")
+    ).select("doc_id", "n_chars")
+
+
+@_q(
+    "q34_m15_deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 10 = 0
+    """,
+)
+def q34(spark, sf_dir):
+    from mel_tnnt_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(_t(spark, sf_dir, "documents"), "doc_id", 10).select(
+        "doc_id", "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
