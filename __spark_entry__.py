@@ -269,12 +269,14 @@ def q16(spark, sf_dir):
     "q07_j5_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
 )
 def q07(spark, sf_dir):
+    # anti-join resume shape (J5): docs not yet in the results table;
+    # restricted to 'F' orders so the complement is non-empty at any sf
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
 
 
