@@ -139,6 +139,29 @@ def similarity_edges(linked: DataFrame) -> DataFrame:
     )
 
 
+def norm_key(canonical: str) -> str:
+    """The blocking key used by similarity_edges, as plain python (must
+    stay byte-identical to the regexp_replace in similarity_edges)."""
+    import re
+
+    return re.sub("[^a-z0-9]", "", canonical.lower())
+
+
+def canonical_entities_local(rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Driver-side canonical_entities over a collected (entity_id,
+    canonical) dim. Each entity_id has one canonical, so components are
+    exactly the norm-key groups (no chaining possible) — min entity_id
+    per group. Equivalence with the distributed path is test-pinned."""
+    groups: dict[str, list[str]] = {}
+    for eid, canonical in rows:
+        groups.setdefault(norm_key(canonical), []).append(eid)
+    out: list[tuple[str, str]] = []
+    for g in groups.values():
+        root = min(g)
+        out.extend((eid, root) for eid in set(g))
+    return out
+
+
 def canonical_entities(linked: DataFrame, ent_dim: DataFrame | None = None) -> DataFrame:
     """Identity canonicalization: entity_id -> canonical component id.
     Entities that never pair up keep themselves as component.

@@ -90,6 +90,52 @@ def _regex_detector(patterns: dict[str, str]) -> Detector:
     return detect
 
 
+def bio_chunks(tagged: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """W5/M10 — run-length grouping of BIO-style tags: consecutive
+    tokens whose tag is not 'O' merge into one chunk; 'B-X'/'I-X'
+    prefixes normalize to 'X' (reference get_continuous_chunks — four
+    near-identical copies at code/NLP_NER/EntityRecognition.py:174-188,
+    292-306, 619-633, 724-738; prefix strip e.g. 202-203).
+
+    Returns [(chunk_text, category)] where category is the first
+    token's normalized tag (reference takes entity[0][1])."""
+    import itertools
+
+    out = []
+    for is_entity, group in itertools.groupby(tagged, key=lambda t: t[1] != "O"):
+        if not is_entity:
+            continue
+        toks = list(group)
+        cat = toks[0][1]
+        cat = cat.split("-", 1)[1] if "-" in cat else cat
+        out.append((" ".join(t[0] for t in toks), cat))
+    return out
+
+
+def _token_rule_detector() -> Detector:
+    """M2/M4-shaped token-pipeline model: whitespace tokenize, tag each
+    token by rule (capitalized word -> 'B-CAPSEQ', else 'O'), BIO-chunk
+    the runs (W5), then locate each chunk with the running-offset scan
+    (W6, code/NLP_NER/EntityRecognition.py:878-887). This is the
+    Stanford/NLTK execution shape with a deterministic tagger."""
+    cap = re.compile(r"^[A-Z][a-z]+$")
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        tagged = [(tok, "B-CAPSEQ" if cap.match(tok) else "O") for tok in text.split()]
+        spans = []
+        offset = 0
+        for chunk_text, cat in bio_chunks(tagged):
+            offset = text.find(chunk_text, offset)
+            if offset < 0:
+                offset = 0
+                continue
+            spans.append((cat, chunk_text, offset, offset + len(chunk_text)))
+            offset += len(chunk_text)
+        return spans
+
+    return detect
+
+
 # Worker-side registry; built lazily so heavyweight models would only
 # load in the executor python worker, once, and be reused across batches.
 _DETECTOR_CACHE: dict[str, Detector] = {}
@@ -100,6 +146,7 @@ def _detectors() -> dict[str, Detector]:
         _DETECTOR_CACHE["regex_model"] = _regex_detector(REGEX_MODEL_PATTERNS)
         _DETECTOR_CACHE["gazetteer_conll_model"] = _gazetteer_detector(GAZETTEER_CONLL)
         _DETECTOR_CACHE["gazetteer_onto_model"] = _gazetteer_detector(GAZETTEER_ONTO)
+        _DETECTOR_CACHE["token_rule_model"] = _token_rule_detector()
     return _DETECTOR_CACHE
 
 

@@ -37,15 +37,19 @@ def build_triples(
     Shuffle budget: exactly ONE wide shuffle over the mention table (the
     doc-entity distinct); the entity-level triples derive from the tiny
     dim and everything else is broadcast."""
+    pin = ent_dim is None
     if ent_dim is None:
         ent_dim = linked.select("entity_id", "canonical", "linked_label").distinct()
-    # The resolved dim feeds three union branches + a broadcast — pin it
-    # so those branches don't each re-run the dim's upstream plan.
     ent_resolved = (
         ent_dim.join(entities, "entity_id", "left")
         .withColumn("canonical_id", F.coalesce("canonical_id", F.col("entity_id")))
-        .localCheckpoint(eager=True)
     )
+    if pin:
+        # The resolved dim feeds three union branches + a broadcast —
+        # pin it so each branch doesn't re-run the big distinct. When
+        # the caller passes a pre-materialized (or driver-local) dim,
+        # re-evaluating it per branch is free and the extra job isn't.
+        ent_resolved = ent_resolved.localCheckpoint(eager=True)
     doc_ent = linked.select("doc_id", "entity_id").distinct()  # the one big shuffle
     mentions_t = (
         doc_ent.join(F.broadcast(ent_resolved.select("entity_id", "canonical_id")), "entity_id")

@@ -66,16 +66,37 @@ def run_pipeline(
     linked = linked.localCheckpoint(eager=True)
 
     # One distinct over the big table yields the tiny entity dim shared
-    # by identity canonicalization and the entity-level triples.
-    # Materialize both tiny frames: they fan out into several plan
-    # branches (broadcasts, unions) and would otherwise re-run their
-    # upstream (incl. the big distinct and the CC) once per branch.
-    ent_dim = (
+    # by identity canonicalization and the entity-level triples. The
+    # dim is bounded by the alias dictionary, so when it fits on the
+    # driver we collect it ONCE and do identity canonicalization there
+    # (one job instead of three tiny materialization jobs — at 10^12
+    # files the per-job scheduling cost is noise, but the collected dim
+    # is exactly as small, so the fast path holds at every scale as
+    # long as the dictionary does). Distributed CC remains the fallback
+    # for unbounded entity universes.
+    ENT_DIM_DRIVER_LIMIT = 200_000
+    dim_rows = (
         linked.select("entity_id", "canonical", "linked_label")
         .distinct()
-        .localCheckpoint(eager=True)
+        .limit(ENT_DIM_DRIVER_LIMIT + 1)
+        .collect()
     )
-    ents = components.canonical_entities(linked, ent_dim=ent_dim).localCheckpoint(eager=True)
+    dim_schema = "entity_id string, canonical string, linked_label string"
+    if len(dim_rows) <= ENT_DIM_DRIVER_LIMIT:
+        ent_dim = spark.createDataFrame(dim_rows, dim_schema)
+        ents = spark.createDataFrame(
+            components.canonical_entities_local(
+                [(r["entity_id"], r["canonical"]) for r in dim_rows]
+            ),
+            "entity_id string, canonical_id string",
+        )
+    else:
+        ent_dim = (
+            linked.select("entity_id", "canonical", "linked_label")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ents = components.canonical_entities(linked, ent_dim=ent_dim).localCheckpoint(eager=True)
     # Doc dim via the key-only dedup: no content bytes shuffle for this
     # consumer (the wide max_by would drag `content` through the wire
     # just to emit (doc_id, repo)). Resume filtering applies here too.

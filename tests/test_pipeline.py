@@ -225,6 +225,18 @@ def test_linking_plans_equivalent(spark, result):
     assert a == b and a
 
 
+def test_canonical_entities_local_vs_distributed(spark, result):
+    from mel_tnnt_spark.operators.components import canonical_entities, canonical_entities_local
+
+    dim = result.linked.select("entity_id", "canonical").distinct()
+    local = set(canonical_entities_local([(r["entity_id"], r["canonical"]) for r in dim.collect()]))
+    dist = {
+        (r["entity_id"], r["canonical_id"])
+        for r in canonical_entities(result.linked).collect()
+    }
+    assert local == dist and local
+
+
 def test_connected_components_basic(spark):
     from mel_tnnt_spark.operators.components import connected_components
 
