@@ -36,7 +36,7 @@ HEADLINE = [
     "q28_cc_embedding_graph",
 ]
 
-KG_ROWS_PER_SF = 100_000  # sf0.1 -> 10k synthetic source files
+KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
 
 
 def main() -> None:
@@ -63,22 +63,25 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # KG pipeline: synthetic source at sf-proportional size, end-to-end
-    # to a real partitioned parquet sink (triples/sec headline).
-    from mel_tnnt_spark.datagen import code_files_df
+    # KG pipeline: synthetic source at sf-proportional size (generated
+    # executor-side), end-to-end to a real partitioned parquet sink
+    # (triples/sec headline). One warm-up pass first: python-worker
+    # fork+import is interpreter cold-start, not engine throughput.
+    from mel_tnnt_spark.datagen import code_files_distributed
     from mel_tnnt_spark.operators.triples import write_triples
     from mel_tnnt_spark.pipeline import run_pipeline
 
     import shutil
     import tempfile
 
-    n_rows = max(200, int(KG_ROWS_PER_SF * sf)) if sf > 0 else 1000
-    src = code_files_df(spark, n_rows=n_rows, seed=42).cache()
+    n_rows = max(1000, int(KG_ROWS_PER_SF * sf)) if sf > 0 else 1000
+    src = code_files_distributed(spark, n_rows=n_rows, seed=42).cache()
     src.count()  # materialize outside the timed window
+    run_pipeline(spark, src).triples.write.format("noop").mode("overwrite").save()  # warm
     out = tempfile.mkdtemp(prefix="bench_triples_")
     t0 = time.time()
     res = run_pipeline(spark, src)
-    write_triples(res.triples, f"{out}/triples")
+    write_triples(res.triples, f"{out}/triples", n_buckets=8)
     kg_sec = time.time() - t0
     n_triples = spark.read.parquet(f"{out}/triples").count()
     shutil.rmtree(out, ignore_errors=True)

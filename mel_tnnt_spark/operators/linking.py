@@ -30,7 +30,7 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "alias string, entity_id string, canonical string, tnnt_label string, prior double"
-    )
+    ).coalesce(1)
 
 
 def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
@@ -42,10 +42,14 @@ def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
 
     `labels` enumerates the possible mention tnnt labels (plus NULL for
     unmapped categories)."""
+    # Tiny dims MUST be single-partition: createDataFrame spreads even
+    # 20 rows over defaultParallelism partitions, and a crossJoin of two
+    # 32-partition locals plans a 1024-task cartesian product — ~500
+    # CPU-seconds of pure task overhead for config-sized data.
     lab = aliases.sparkSession.createDataFrame(
         [(x,) for x in labels] + [(None,)], "label string"
-    )
-    scored = aliases.crossJoin(lab).withColumn(
+    ).coalesce(1)
+    scored = aliases.coalesce(1).crossJoin(lab).withColumn(
         "score",
         F.round(
             F.col("prior")

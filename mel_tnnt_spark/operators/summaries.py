@@ -27,7 +27,7 @@ def label_classification_df(spark: SparkSession) -> DataFrame:
     (code/NLP_NER_API/config.json:228-513). Tiny: always broadcast."""
     return spark.createDataFrame(
         label_classification_rows(), "model string, category string, tnnt_label string"
-    )
+    ).coalesce(1)
 
 
 def canonicalize(mentions: DataFrame, label_map: DataFrame) -> DataFrame:

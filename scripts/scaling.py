@@ -38,13 +38,19 @@ def run_once(cores: int, rows: int) -> tuple[float, int]:
     from mel_tnnt_spark.operators.triples import write_triples
     from mel_tnnt_spark.pipeline import run_pipeline
 
+    # Task granularity FIXED at 32 post-shuffle partitions for both
+    # levels: AQE's byte-based coalescing would otherwise hand the
+    # python-heavy stage ~1 task per core (wave quantization + straggler
+    # tail kills the 4N run; cluster practice is 2-4x tasks per core).
     spark = get_spark(
         f"scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=32,
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-scaling",
             "spark.driver.memory": "24g",
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
