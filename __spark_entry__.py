@@ -704,7 +704,7 @@ def q28(spark, sf_dir):
 @_q(
     "q31_p9_json_path",
     """
-    SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k, count(*) AS n
+    SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k, count(*) AS n
     FROM events GROUP BY event_type
     """,
 )

@@ -23,7 +23,7 @@ import hashlib
 import random
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 CODE_FILES_SCHEMA = StructType(
     [
@@ -33,8 +33,18 @@ CODE_FILES_SCHEMA = StructType(
         StructField("lang", StringType(), False),
         StructField("content", StringType(), True),
         StructField("content_sha", StringType(), True),
+        # commit time, epoch seconds — the latest-wins ordering column.
+        # (A sha1 `commit` hex has no recency order; W3 needs a real
+        # version axis, so the source contract carries one, like any git
+        # log / Iceberg snapshot would.)
+        StructField("committed_at", LongType(), False),
     ]
 )
+
+
+def _committed_at(i: int, version: int) -> int:
+    """Deterministic commit time: later versions are strictly newer."""
+    return 1_600_000_000 + (i % 10_000_000) * 7 + version * 86_400
 
 _LANG_BY_EXT = {"py": "python", "java": "java", "md": "markdown", "txt": "text", "json": "json"}
 _EXTS = list(_LANG_BY_EXT)
@@ -110,7 +120,9 @@ def generate_code_files_rows(n_rows: int = 200, seed: int = 42) -> list[tuple]:
         for v in range(1, versions + 1):
             c = content if v == versions else content + f"\n{'#'} stale v{v}"
             sha = hashlib.sha256(c.encode()).hexdigest()
-            rows.append((repo, path, _commit_hex(repo, path, v), lang, c, sha))
+            rows.append(
+                (repo, path, _commit_hex(repo, path, v), lang, c, sha, _committed_at(i, v))
+            )
     return rows
 
 
@@ -132,7 +144,9 @@ def _rows_for_index(i: int, seed: int, n_repos: int) -> list[tuple]:
     for v in range(1, versions + 1):
         c = content if v == versions else content + f"\n# stale v{v}"
         sha = hashlib.sha256(c.encode()).hexdigest()
-        out.append((repo, path, _commit_hex(repo, path, v), lang, c, sha))
+        out.append(
+            (repo, path, _commit_hex(repo, path, v), lang, c, sha, _committed_at(i, v))
+        )
     return out
 
 

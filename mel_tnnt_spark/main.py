@@ -37,16 +37,22 @@ def main() -> None:
     from mel_tnnt_spark.operators.triples import write_triples
     from mel_tnnt_spark.pipeline import run_pipeline
 
+    import os
+
     src = code_files_df(spark, n_rows=args.rows, seed=args.seed)
     t0 = time.time()
     res = run_pipeline(spark, src, lineage_path=args.lineage)
-    # On a resume over an unchanged snapshot the pending set is empty —
-    # skip the write (an empty overwrite would clobber prior output and
-    # leave a schema-less parquet dir). Iceberg MERGE makes this atomic
-    # in production; parquet overwrite is the sandbox stand-in.
+    # Resume runs write ONLY their own batch partition (dynamic
+    # partition overwrite keyed by batch_id) so earlier batches' triples
+    # survive; a fresh run (no lineage yet) statically overwrites the
+    # whole table. Replaying a failed batch rewrites the same partition
+    # — idempotent. An empty pending set skips the write entirely.
+    resuming = args.lineage is not None and os.path.exists(args.lineage)
     n_triples = res.triples.count()
     if n_triples:
-        write_triples(res.triples, args.output)
+        write_triples(
+            res.triples, args.output, batch_id=args.batch_id if resuming else None
+        )
     n_quarantined = res.quarantined.count()
     elapsed = time.time() - t0
     if args.lineage is not None:

@@ -166,7 +166,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .agg(F.sum("contrib").alias("s"))
         .withColumn("bit", (F.col("s") > 0).cast("long"))
         .groupBy("id")
-        .agg(F.sum(F.expr("bit * cast(pow(2, b) as long)")).alias("simhash"))
+        .agg(F.sum(F.expr("bit * shiftleft(cast(1 as bigint), b)")).alias("simhash"))
     )
 
 

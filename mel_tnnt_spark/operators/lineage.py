@@ -32,9 +32,14 @@ def enforce_sha_invariant(src: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split source rows into (valid, quarantined) on the per-row
     invariant sha256(content) == content_sha (BASELINE.json input_hint).
     Returns two lazy DataFrames off one scan."""
+    # Null-safe: a NULL content_sha must land in quarantine, not vanish
+    # (a bare `==` yields NULL, which fails BOTH where() branches).
     checked = src.withColumn(
         "_sha_ok",
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256) == F.col("content_sha"),
+        F.coalesce(
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256) == F.col("content_sha"),
+            F.lit(False),
+        ),
     )
     valid = checked.where(F.col("_sha_ok")).drop("_sha_ok")
     quarantined = checked.where(~F.col("_sha_ok")).drop("_sha_ok")

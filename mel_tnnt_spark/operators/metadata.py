@@ -68,8 +68,9 @@ def filter_processable(df: DataFrame) -> DataFrame:
 
 
 def latest_commit_only(df: DataFrame) -> DataFrame:
-    """W3 latest-wins dedup: keep one row per (repo, path) — the highest
-    commit per deterministic order. Reference analogue: newest-mtime file
+    """W3 latest-wins dedup: keep one row per (repo, path) — the newest
+    `committed_at`, tie-broken by (commit, doc_id) for determinism when
+    two commits share a timestamp. Reference analogue: newest-mtime file
     wins among outputs sharing a base name
     (code/NLP_NER_API/interface/fileinfo.py:11-13).
 
@@ -88,7 +89,9 @@ def latest_commit_only(df: DataFrame) -> DataFrame:
     cols = ", ".join(df.columns)
     return (
         df.groupBy("repo", "path")
-        .agg(F.expr(f"max_by(struct({cols}), struct(commit, doc_id))").alias("_r"))
+        .agg(
+            F.expr(f"max_by(struct({cols}), struct(committed_at, commit, doc_id))").alias("_r")
+        )
         .select("_r.*")
     )
 
@@ -99,9 +102,15 @@ def latest_commit_keys(df: DataFrame) -> DataFrame:
     for consumers that don't need text (doc dims, lineage), so the scan
     stays column-pruned and no content byte moves."""
     return (
-        df.select("repo", "path", "commit", "doc_id", "content_sha")
+        df.select("repo", "path", "committed_at", "commit", "doc_id", "content_sha")
         .groupBy("repo", "path")
-        .agg(F.max(F.struct(F.col("commit"), F.col("doc_id"), F.col("content_sha"))).alias("_p"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("committed_at"), F.col("commit"), F.col("doc_id"), F.col("content_sha")
+                )
+            ).alias("_p")
+        )
         .select(
             "repo",
             "path",

@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from a stable row attribute when
-    available; fall back to a per-task counter via monotonically
-    increasing id (still deterministic per partition layout)."""
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+    """Per-row salt via monotonically_increasing_id: exact-duplicate hot
+    rows get DIFFERENT salts (a content-derived salt would keep a
+    duplicated hot row on one reducer, defeating the salting)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:

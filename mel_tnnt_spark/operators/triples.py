@@ -78,15 +78,34 @@ def build_triples(
     return mentions_t.unionByName(type_t).unionByName(label_t).unionByName(part_t)
 
 
-def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 32, batch_id: str | None = None
+) -> None:
     """Persist partitioned by pred, hash-distributed on subj.
 
-    On a real cluster this is
-    `triples.writeTo("catalog.kg.triples").partitionedBy(bucket(256,'subj'),'pred')`
-    (Iceberg); sandbox fallback is parquet with the same layout intent."""
-    (
-        triples.repartition(n_buckets, "subj")
-        .write.mode("overwrite")
-        .partitionBy("pred")
-        .parquet(path)
-    )
+    Two modes:
+    - batch_id=None: fresh full run — static overwrite of the whole table.
+    - batch_id set:  incremental batch — rows land under a `batch_id=...`
+      partition with DYNAMIC partition overwrite, so replaying a failed
+      batch rewrites exactly its own partitions (idempotent) and never
+      touches earlier batches' output. This is the parquet stand-in for
+      an Iceberg `MERGE`/`replaceWhere` snapshot commit; on a real
+      cluster this is
+      `triples.writeTo("catalog.kg.triples").partitionedBy(bucket(256,'subj'),'pred')`.
+    """
+    out = triples.repartition(n_buckets, "subj")
+    if batch_id is None:
+        out.write.mode("overwrite").partitionBy("pred").parquet(path)
+        return
+    spark = triples.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "pred")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

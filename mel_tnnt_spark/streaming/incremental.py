@@ -77,11 +77,25 @@ def run_incremental(
         trip = triples.build_triples(docs, linked, ents, ent_dim=ent_dim).where(
             F.col("pred") != "tnnt:partOf"
         )
-        (
-            trip.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        # Idempotent replay: Structured Streaming re-runs a failed batch
+        # with the SAME batch_id, so overwrite that batch's partition
+        # (dynamic mode) instead of appending — a batch that committed
+        # the write but crashed before the checkpoint advanced is simply
+        # rewritten, never duplicated. NOTE: foreachBatch executes under
+        # a CLONED SparkSession, so the conf must be set on
+        # batch_df.sparkSession (the outer session's conf is ignored).
+        sess = batch_df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                trip.withColumn("batch_id", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(output_dir)
+            )
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = (
         ments.writeStream.foreachBatch(process_batch)

@@ -39,14 +39,16 @@ def golden_mentions(rows):
     """rows: raw code_files tuples. Applies: protected/empty filter,
     latest-commit-wins, clean+preprocess, then all three detectors."""
     by_key = {}
-    for repo, path, commit, lang, content, sha in rows:
+    for repo, path, commit, lang, content, sha, ts in rows:
         fname = path.rsplit("/", 1)[-1]
         if not content or fname.startswith("~$"):
             continue
         k = (repo, path)
         cur = by_key.get(k)
-        if cur is None or (commit, _doc_id(repo, path, commit)) > (cur[2], _doc_id(*cur[:3])):
-            by_key[k] = (repo, path, commit, content)
+        key = (ts, commit, _doc_id(repo, path, commit))
+        if cur is None or key > cur[0]:
+            by_key[k] = (key, (repo, path, commit, content))
+    by_key = {k: v for k, (_, v) in by_key.items()}
     out = []
     for repo, path, commit, content in by_key.values():
         did = _doc_id(repo, path, commit)
@@ -115,16 +117,17 @@ def golden_triples(rows):
     # doc -> repo map for partOf triples
     docs = set()
     by_key = {}
-    for repo, path, commit, lang, content, sha in rows:
+    for repo, path, commit, lang, content, sha, ts in rows:
         fname = path.rsplit("/", 1)[-1]
         if not content or fname.startswith("~$"):
             continue
         k = (repo, path)
         cur = by_key.get(k)
-        if cur is None or (commit, _doc_id(repo, path, commit)) > (cur[1], _doc_id(repo, path, cur[1])):
-            by_key[k] = (repo, commit)
-    for (repo, path), (r, commit) in by_key.items():
-        docs.add((_doc_id(repo, path, commit), repo))
+        key = (ts, commit, _doc_id(repo, path, commit))
+        if cur is None or key > cur[0]:
+            by_key[k] = (key, (repo, commit))
+    for (repo, path), (_, (r, commit)) in by_key.items():
+        docs.add((_doc_id(repo, path, commit), r))
 
     triples = set()
     for did, eid, canonical, tnnt in linked:
@@ -214,6 +217,37 @@ def test_resume_is_noop(spark, code_files):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_write_triples_batch_idempotent(spark, result):
+    """S6 sink semantics: (a) replaying a failed batch rewrites its own
+    partition — no duplicates; (b) a later batch never clobbers earlier
+    batches' output (the resume-overwrite data-loss bug)."""
+    from mel_tnnt_spark.operators.triples import write_triples
+
+    tmp = tempfile.mkdtemp(prefix="triples_sink_")
+    try:
+        path = f"{tmp}/triples"
+        t = result.triples.cache()
+        n = t.count()
+
+        write_triples(t, path, n_buckets=4, batch_id="b1")
+        assert spark.read.parquet(path).count() == n
+
+        # crash-mid-write replay: same batch_id again -> same rows, not 2n
+        write_triples(t, path, n_buckets=4, batch_id="b1")
+        got = spark.read.parquet(path)
+        assert got.count() == n
+        assert {r["batch_id"] for r in got.select("batch_id").distinct().collect()} == {"b1"}
+
+        # next batch appends its own partition; b1 rows survive
+        write_triples(t.limit(5), path, n_buckets=4, batch_id="b2")
+        got = spark.read.parquet(path)
+        assert got.where(F.col("batch_id") == "b1").count() == n
+        assert got.where(F.col("batch_id") == "b2").count() == 5
+        t.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_linking_plans_equivalent(spark, result):
     """The zero-shuffle broadcast-dim linking must produce exactly the
     rows of the direct candidates->groupBy formulation."""
@@ -235,6 +269,27 @@ def test_canonical_entities_local_vs_distributed(spark, result):
         for r in canonical_entities(result.linked).collect()
     }
     assert local == dist and local
+
+
+def test_latest_wins_uses_committed_at_not_hash_order(spark):
+    """Regression: commit is a sha1 hex with no recency order. A stale
+    commit whose hash sorts AFTER the newest commit must still lose."""
+    from mel_tnnt_spark.operators.metadata import latest_commit_only, with_general_metadata
+
+    rows = [
+        # stale commit 'ffff...' sorts lexicographically above '0000...'
+        ("r", "src/a.py", "f" * 40, "python", "old content", "sha_old", 100),
+        ("r", "src/a.py", "0" * 40, "python", "new content", "sha_new", 200),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha string, committed_at long",
+    )
+    out = latest_commit_only(with_general_metadata(df)).collect()
+    assert len(out) == 1
+    assert out[0]["content"] == "new content"
+    assert out[0]["committed_at"] == 200
 
 
 def test_connected_components_basic(spark):
