@@ -457,11 +457,13 @@ def q17(spark, sf_dir):
     """
     WITH w AS (
       SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
-      FROM documents WHERE doc_id < 100),
-    sh AS (
+      FROM documents WHERE doc_id < 1000),
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(ws) - 1), i -> array_to_string(ws[i:i+1], ' '))) AS shingle
       FROM w WHERE len(ws) >= 2),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -475,10 +477,13 @@ def q17(spark, sf_dir):
     """,
 )
 def q18(spark, sf_dir):
+    # Gated at 10x the round-1 doc count WITH the document-frequency
+    # hot-shingle filter — the 100-TB formulation (df<=20 cuts pair work
+    # 35x at sf0.01, 23000x at sf0.1; measured, see BENCH.md).
     from mel_tnnt_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08, max_df=20)
 
 
 @_q(
@@ -528,6 +533,39 @@ def q20(spark, sf_dir):
     return simhash(docs, "doc_id", "text", bits=16).select(
         F.col("id").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
     )
+
+
+@_q(
+    "q35_dd_lsh_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM w WHERE len(ws) >= 3),
+    sig AS (
+      SELECT doc_id, seed,
+             min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS minhash
+      FROM sh, range(8) r(seed)
+      GROUP BY doc_id, seed),
+    banded AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q35(spark, sf_dir):
+    """MinHash-LSH banded candidate pairs — the pair stage itself is now
+    oracle-gated (round-1 gap). k=8 seeds, 4 bands of 2 rows."""
+    from mel_tnnt_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=8, bands=4)
+    return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
 
 
 # --- similarity search -------------------------------------------------------
@@ -676,8 +714,24 @@ def q26(spark, sf_dir):
     """
     WITH RECURSIVE
     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
-    p AS (SELECT a.id AS sa, b.id AS sb FROM e a, e b
-          WHERE a.id < b.id AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+    p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
+    p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 2),
+    p3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+    sig AS (
+      SELECT id, v,
+             (list_dot_product(v, (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
+             (list_dot_product(v, (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS bk0,
+             (list_dot_product(v, (SELECT v FROM p2)) >= 0)::INT::VARCHAR ||
+             (list_dot_product(v, (SELECT v FROM p3)) >= 0)::INT::VARCHAR AS bk1
+      FROM e),
+    cand AS (
+      SELECT a.id AS sa, b.id AS sb, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM sig a JOIN sig b ON a.bk0 = b.bk0 AND a.id < b.id
+      UNION
+      SELECT a.id AS sa, b.id AS sb, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM sig a JOIN sig b ON a.bk1 = b.bk1 AND a.id < b.id),
+    p AS (SELECT DISTINCT sa, sb FROM cand WHERE cos >= 0.25),
     edges AS (SELECT sa, sb FROM p UNION SELECT sb AS sa, sa AS sb FROM p),
     reach(node, r) AS (
       SELECT id, id FROM e
@@ -687,11 +741,20 @@ def q26(spark, sf_dir):
     """,
 )
 def q28(spark, sf_dir):
+    """CC over the near-dup graph, edges from the BLOCKED (banded
+    random-hyperplane LSH) pair plan — zero CartesianProduct. Pivots are
+    the first 4 data vectors so the oracle reproduces the blocking."""
     from mel_tnnt_spark.operators.components import connected_components
     from mel_tnnt_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
-    edges = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.25, n_prefix_buckets=0)
+    pivots = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    edges = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, pivots=pivots, bits_per_band=2
+    )
     cc = connected_components(edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     nodes = emb.select(F.col("vec_id").alias("node"))
     return nodes.join(cc, "node", "left").select(

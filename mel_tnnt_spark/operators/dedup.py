@@ -62,24 +62,54 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, computed with an
-    inverted-index equi-join on the shingle (never a cross join):
-    |A ∩ B| from the join, |A ∪ B| = |A| + |B| - |A ∩ B|."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    """Near-dup pairs by n-gram Jaccard via an inverted-index equi-join
+    on the shingle (never a cross join): |A ∩ B| from the join,
+    |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    max_df: document-frequency cap — shingles occurring in more than
+    max_df docs are dropped from the index BEFORE the self-join. This is
+    the 100-TB guard: one stopword-like shingle shared by 1e5 docs
+    otherwise generates 1e10 candidate pairs. Jaccard is computed over
+    the filtered shingle space on BOTH sides of the ratio (sizes count
+    surviving shingles), so the score remains a true Jaccard of the
+    surviving sets and an external oracle can reproduce it exactly.
+
+    Plan shape: per-doc sizes attach via a window over id (no separate
+    sizes table and no pairs->sizes re-joins); the self-join's two sides
+    are the identical subplan, so the shuffle is planned once and reused
+    (ReusedExchange) — no cache to leak."""
+    from pyspark.sql.window import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sized = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        sized.alias("a")
+        .join(sized.alias("b"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
     return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
         )
@@ -171,31 +201,63 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_prefix_buckets: int = 1
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    pivots: list[list[float]] | None = None,
+    bits_per_band: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
 
-    Exact variant joins within sign-prefix blocks of the first
-    `n_prefix_buckets` dimensions (n_prefix_buckets=1 keeps recall for
-    thresholds near 1 while halving the pair space; 0 disables
-    blocking). Cosine stays JVM-side via aggregate/zip_with."""
+    Gated/scale path: banded random-hyperplane LSH. `pivots` is a list
+    of hyperplane vectors — callers derive them FROM THE DATA (e.g. the
+    first few embeddings) so an external oracle can reproduce the
+    blocking bit-for-bit. Sign bits group into bands of `bits_per_band`;
+    vectors sharing ANY band bucket become candidates (one equi-join per
+    band, never a cross join). A pair colliding in several bands is
+    deduplicated AFTER the threshold filter, when only (id_a, id_b,
+    cosine) survive — vectors never pass through the distinct shuffle.
+    Candidate recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^bands;
+    measured against the exact path in tests/test_curation_ops.py.
+
+    pivots=None is the exact all-pairs fallback (crossJoin) — for tests
+    and recall measurement only, never the gated path at scale."""
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    if n_prefix_buckets > 0:
-        v = v.withColumn(
-            "blk",
-            F.array_join(
-                F.transform(F.slice("v", 1, n_prefix_buckets), lambda x: (x >= 0).cast("int").cast("string")),
-                "",
-            ),
-        )
-        joined = v.alias("a").join(v.alias("b"), "blk")
-    else:
-        joined = v.alias("a").crossJoin(v.alias("b"))
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     nrm = lambda side: F.sqrt(F.expr(f"aggregate({side}.v, 0D, (acc, x) -> acc + x * x)"))
+    if pivots:
+        def _bit(p: list[float]):
+            plit = F.array(*[F.lit(float(x)) for x in p])
+            d = F.aggregate(
+                F.zip_with("v", plit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return (d >= 0).cast("int").cast("string")
+
+        n_bands = (len(pivots) + bits_per_band - 1) // bits_per_band
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat(
+                        *[_bit(p) for p in pivots[bi * bits_per_band : (bi + 1) * bits_per_band]]
+                    ).alias("bucket"),
+                )
+                for bi in range(n_bands)
+            ]
+        )
+        blocked = v.select("id", "v", F.explode(bands).alias("bb")).select(
+            "id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        joined = blocked.alias("a").join(blocked.alias("b"), ["band", "bucket"])
+    else:
+        joined = v.alias("a").crossJoin(v.alias("b"))
     return (
         joined.where(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", F.round(dot / (nrm("a") * nrm("b")), 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .distinct()
     )

@@ -27,4 +27,6 @@ def plan_flags(df: DataFrame) -> dict[str, bool | int]:
         "shuffles": p.count("Exchange"),
         "python_stages": p.count("ArrowEvalPython") + p.count("MapInPandas"),
         "row_udfs": p.count("BatchEvalPython"),  # row-at-a-time — should be 0
+        # all-pairs scale-killers — should be 0 in every gated plan
+        "cartesian": p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin"),
     }

@@ -91,6 +91,36 @@ def test_bucketed_ann_recall(spark):
     assert {r["vec_id"] for r in approx} & exact_ids
 
 
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Blocked (banded random-hyperplane) near-dup pairs vs the exact
+    all-pairs path at sf0.001: candidates must be a subset, and recall
+    must clear the analytic expectation for 2 bands x 2 bits at the q28
+    operating point (measured value recorded in BENCH.md)."""
+    from mel_tnnt_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.col("vec_id") < 100
+    )
+    pivots = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.25).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.25, pivots=pivots, bits_per_band=2
+        ).collect()
+    }
+    assert blocked <= exact  # blocking only ever REMOVES candidates
+    assert exact  # non-vacuous at this threshold
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.3f} below analytic floor"
+
+
 def test_lang_id_and_quality(docs):
     from mel_tnnt_spark.operators.textstats import lang_id, quality_score, token_count, fingerprint
 

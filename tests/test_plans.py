@@ -63,3 +63,17 @@ def test_broadcast_join_in_entry_queries(spark):
     q12 = e.queries()["q12_j6_containment_mentions"](spark, SF)
     assert plan_flags(q12)["row_udfs"] == 0
     assert plan_flags(q12)["whole_stage_codegen"]
+
+
+def test_pair_generators_have_no_cartesian(spark):
+    """The gated pair plans (q18 jaccard, q28 embedding graph, q35 LSH)
+    must never contain an all-pairs join — the 100-TB scale guard."""
+    import __spark_entry__ as e
+
+    for name in (
+        "q18_dd_ngram_jaccard_pairs",
+        "q28_cc_embedding_graph",
+        "q35_dd_lsh_pairs",
+    ):
+        df = e.queries()[name](spark, SF)
+        assert plan_flags(df)["cartesian"] == 0, f"{name} plans an all-pairs join"
