@@ -89,6 +89,73 @@ def py_context_sentence(start_char: int, text: str) -> str | None:
     return None
 
 
+def split_long_text(
+    text: str,
+    max_len: int,
+    puncts: tuple[str, ...] = (".", ";", ":", ","),
+) -> list[tuple[int, str]]:
+    """Recursive punctuation splitter for giant documents — the
+    reference bounds model sequence length by splitting on a punctuation
+    priority list and recursing when a piece is still too long
+    (BERTNer.get_entity_by_punctuation, code/NLP_NER/
+    EntityRecognition.py:649-661; punctuation_list
+    NLP-NER-config.json). Two deliberate divergences:
+
+    - offset-preserving: returns (start, chunk) with the separator kept
+      attached to the LEFT piece, so ''.join(chunks) == text and every
+      chunk start is an exact offset into the original (the reference
+      relocates by re-finding entities in the full text instead);
+    - loss-free: when the punctuation list is exhausted the remainder is
+      hard-cut at max_len (the reference silently DROPS text longer
+      than max_length with no punctuation, index==4 branch);
+    - a cut happens only after punctuation FOLLOWED BY WHITESPACE, so
+      in-token punctuation (URLs, emails, '$1,234.56') never splits an
+      entity — the reference's bare split() would.
+
+    Consecutive pieces are greedily packed up to max_len. Because the
+    whitespace stays with the RIGHT piece, the '.'-delimited sentence
+    parts inside a chunk are byte-identical to the full-text ones
+    (context-sentence fidelity, tested)."""
+    return _split_rec(text, max_len, puncts, 0, 0)
+
+
+def _split_rec(
+    text: str, max_len: int, puncts: tuple[str, ...], pi: int, base: int
+) -> list[tuple[int, str]]:
+    if len(text) <= max_len:
+        return [(base, text)] if text else []
+    if pi >= len(puncts):
+        return [(base + i, text[i : i + max_len]) for i in range(0, len(text), max_len)]
+    # cut right after the punct char when whitespace follows (the
+    # whitespace opens the next piece)
+    cuts = [m.end() for m in re.finditer(re.escape(puncts[pi]) + r"(?=\s)", text)]
+    bounds = [0] + [c for c in cuts if 0 < c < len(text)] + [len(text)]
+    segs: list[tuple[int, str]] = [
+        (bounds[i], text[bounds[i] : bounds[i + 1]])
+        for i in range(len(bounds) - 1)
+        if bounds[i + 1] > bounds[i]
+    ]
+    out: list[tuple[int, str]] = []
+    cur_start = -1
+    cur_len = 0
+    for s, seg in segs:
+        if len(seg) > max_len:
+            if cur_start >= 0:
+                out.append((base + cur_start, text[cur_start:s]))
+                cur_start = -1
+            out.extend(_split_rec(seg, max_len, puncts, pi + 1, base + s))
+        elif cur_start < 0:
+            cur_start, cur_len = s, len(seg)
+        elif cur_len + len(seg) <= max_len:
+            cur_len += len(seg)
+        else:
+            out.append((base + cur_start, text[cur_start:s]))
+            cur_start, cur_len = s, len(seg)
+    if cur_start >= 0:
+        out.append((base + cur_start, text[cur_start:]))
+    return out
+
+
 _WORD_TOKEN = re.compile(r"[A-Za-z0-9_']+")
 _STOPSET = frozenset(STOPWORDS)
 

@@ -37,7 +37,7 @@ from mel_tnnt_spark.config import (
     GAZETTEER_ONTO,
     REGEX_MODEL_PATTERNS,
 )
-from mel_tnnt_spark.functions.text import py_context_sentence
+from mel_tnnt_spark.functions.text import py_context_sentence, split_long_text
 
 MENTION_SCHEMA = StructType(
     [
@@ -197,6 +197,7 @@ def detect_mentions(
     df: DataFrame,
     models: tuple[str, ...] = ("regex_model", "gazetteer_conll_model", "gazetteer_onto_model"),
     text_col: str = "preproc_text",
+    max_chunk_chars: int = 65_536,
 ) -> DataFrame:
     """mapInPandas over (doc_id, text) batches -> long mention rows.
 
@@ -205,7 +206,17 @@ def detect_mentions(
     spark.sql.execution.arrow.maxRecordsPerBatch. The hot loop builds
     columnar lists (no per-row dicts) and shares one SentenceLookup per
     doc; equivalence with the reference semantics is pinned by the
-    golden tests."""
+    golden tests.
+
+    Texts longer than max_chunk_chars are recursively punctuation-split
+    (split_long_text — the reference's sequence-length bound,
+    code/NLP_NER/EntityRecognition.py:649-661) and detected per chunk
+    with offsets relocated by the chunk start; the sentence context is
+    computed from the FULL text, so the output is identical to the
+    unchunked path for any entity that does not straddle a chunk
+    boundary (property-tested). This bounds per-call detector cost; for
+    corpora with multi-GB single documents use detect_mentions_chunked,
+    which spreads one document's chunks across tasks."""
     narrow = df.select("doc_id", F.col(text_col).alias("_text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,20 +234,118 @@ def detect_mentions(
                 if not text:
                     continue
                 lookup = SentenceLookup(text)
+                if len(text) > max_chunk_chars:
+                    pieces = split_long_text(text, max_chunk_chars)
+                else:
+                    pieces = [(0, text)]
+                for base, piece in pieces:
+                    for model in models:
+                        for category, entity, start, end in registry[model](piece):
+                            c_doc.append(doc_id)
+                            c_model.append(model)
+                            c_cat.append(category)
+                            c_ent.append(entity)
+                            c_s.append(base + start)
+                            c_e.append(base + end)
+                            c_sent.append(lookup(base + start))
+            yield pd.DataFrame(
+                dict(zip(cols, [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]))
+            )
+
+    return narrow.mapInPandas(run, MENTION_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("chunk_start", IntegerType(), False),
+        StructField("chunk_text", StringType(), False),
+    ]
+)
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "preproc_text", max_chunk_chars: int = 1_048_576
+) -> DataFrame:
+    """Explode giant documents into (doc_id, chunk_start, chunk_text)
+    rows via split_long_text. This is the STRAGGLER fix: one 50 MB doc
+    becomes ~50 rows that a repartition can spread over the cluster,
+    instead of one task pinned on one core for the whole stage."""
+    narrow = df.select("doc_id", F.col(text_col).alias("_text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_doc: list = []
+            c_start: list = []
+            c_text: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                if not text:
+                    continue
+                for base, piece in split_long_text(text, max_chunk_chars):
+                    c_doc.append(doc_id)
+                    c_start.append(base)
+                    c_text.append(piece)
+            yield pd.DataFrame({"doc_id": c_doc, "chunk_start": c_start, "chunk_text": c_text})
+
+    return narrow.mapInPandas(run, CHUNK_SCHEMA)
+
+
+def detect_mentions_chunked(
+    df: DataFrame,
+    models: tuple[str, ...] = ("regex_model", "gazetteer_conll_model", "gazetteer_onto_model"),
+    text_col: str = "preproc_text",
+    max_chunk_chars: int = 1_048_576,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Chunk-parallel mention detection for skewed corpora: chunk ->
+    repartition (spreads a giant doc's chunks across tasks) -> detect
+    per chunk -> relocate offsets by chunk_start.
+
+    Sentence context is computed from the chunk. Chunks start right
+    after a separator, so at '.'-level splits the context sentence is
+    byte-identical to the full-text one (split_long_text docstring);
+    deeper-level splits may truncate the context at a chunk edge — the
+    documented trade for unbounded document sizes (the reference drops
+    such text entirely)."""
+    chunks = chunk_documents(df, text_col, max_chunk_chars)
+    chunks = chunks.repartition(
+        n_partitions or chunks.sparkSession.sparkContext.defaultParallelism,
+        "doc_id",
+        "chunk_start",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        registry = _detectors()
+        cols = [f.name for f in MENTION_SCHEMA.fields]
+        for pdf in batches:
+            c_doc: list = []
+            c_model: list = []
+            c_cat: list = []
+            c_ent: list = []
+            c_s: list = []
+            c_e: list = []
+            c_sent: list = []
+            for doc_id, base, text in zip(
+                pdf["doc_id"], pdf["chunk_start"], pdf["chunk_text"]
+            ):
+                if not text:
+                    continue
+                base = int(base)
+                lookup = SentenceLookup(text)
                 for model in models:
                     for category, entity, start, end in registry[model](text):
                         c_doc.append(doc_id)
                         c_model.append(model)
                         c_cat.append(category)
                         c_ent.append(entity)
-                        c_s.append(start)
-                        c_e.append(end)
+                        c_s.append(base + start)
+                        c_e.append(base + end)
                         c_sent.append(lookup(start))
             yield pd.DataFrame(
                 dict(zip(cols, [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]))
             )
 
-    return narrow.mapInPandas(run, MENTION_SCHEMA)
+    return chunks.mapInPandas(run, MENTION_SCHEMA)
 
 
 def mention_stats(mentions: DataFrame) -> DataFrame:
