@@ -331,6 +331,69 @@ def q12(spark, sf_dir):
     return _containment_mentions(spark, sf_dir)
 
 
+@_q(
+    "q37_j2_lookup_with_fallback",
+    """
+    WITH dim AS (SELECT doc_id AS k_id, lang AS k_name, source AS src FROM documents),
+    fb AS (SELECT k_name, arg_min(src, k_id) AS f_src FROM dim GROUP BY k_name),
+    probe AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN -1 - doc_id ELSE doc_id END AS k_id,
+             lang AS k_name
+      FROM documents)
+    SELECT p.doc_id, p.k_id, p.k_name,
+           coalesce(d.src, f.f_src) AS src,
+           CASE WHEN d.src IS NOT NULL THEN 'primary'
+                WHEN f.f_src IS NOT NULL THEN 'fallback' END AS match_type
+    FROM probe p
+    LEFT JOIN (SELECT k_id, src FROM dim) d USING (k_id)
+    LEFT JOIN fb f USING (k_name)
+    """,
+)
+def q37(spark, sf_dir):
+    """J2 — by-id lookup with by-name fallback (reference's linear
+    FILENAME rescue, code/MEL/__init__.py:874-886): every third probe id
+    is poisoned so both match paths are exercised."""
+    from mel_tnnt_spark.operators.linking import lookup_with_fallback
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = docs.select(
+        F.col("doc_id").alias("k_id"),
+        F.col("lang").alias("k_name"),
+        F.col("source").alias("src"),
+    )
+    probe = docs.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN -1 - doc_id ELSE doc_id END").alias("k_id"),
+        F.col("lang").alias("k_name"),
+    )
+    return lookup_with_fallback(probe, dim, "k_id", "k_name", ["src"])
+
+
+@_q(
+    "q36_j6_large_vocab_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents),
+    vocab AS (
+      SELECT word FROM toks GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 1000)
+    SELECT t.doc_id, t.word, count(*) AS cnt
+    FROM toks t JOIN vocab v USING (word)
+    GROUP BY 1, 2
+    """,
+)
+def q36(spark, sf_dir):
+    """J6 general form — containment against a 1000-word data-derived
+    vocabulary via tokenized equi-join (per-doc cost independent of
+    vocab size; the reference's per-name scan is O(|vocab|*|text|))."""
+    from mel_tnnt_spark.operators.containment import containment_counts, top_k_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = top_k_vocab(docs, "doc_id", "text", 1000)
+    return containment_counts(docs, vocab, "doc_id", "text")
+
+
 # --- text analysis (A2/A3) ---------------------------------------------------
 
 @_q(
@@ -434,6 +497,40 @@ def q30(spark, sf_dir):
         counts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+
+
+@_q(
+    "q38_a8_multimode_chars_per_lang",
+    """
+    WITH hist AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, max(c) AS mc FROM hist GROUP BY 1)
+    SELECT h.lang,
+           min(h.n_chars) AS mode_chars,
+           array_to_string(list_sort(list(h.n_chars)), ',') AS multimode_chars
+    FROM hist h JOIN mx USING (lang)
+    WHERE h.c = mx.mc
+    GROUP BY h.lang
+    """,
+)
+def q38(spark, sf_dir):
+    """A8 completeness — mode + multimode over the value histogram
+    (reference statistics.mode/multimode, aggregation.py:70-146; sorted
+    multimode + smallest-value mode as the deterministic refinement)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    mx = hist.groupBy("lang").agg(F.max("c").alias("mc"))
+    return (
+        hist.join(mx, "lang")
+        .where(F.col("c") == F.col("mc"))
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("mode_chars"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("n_chars")), lambda x: x.cast("string")),
+                ",",
+            ).alias("multimode_chars"),
+        )
     )
 
 

@@ -134,6 +134,49 @@ def link_mentions(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+def lookup_with_fallback(
+    probe: DataFrame,
+    dim: DataFrame,
+    primary_key: str,
+    fallback_key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """J2 — primary-key lookup with a fallback-key second chance: the
+    reference looks a document up by `_id` and, on a miss, linearly
+    scans the table comparing FILENAME (code/MEL/__init__.py:874-886;
+    fallback wiring code/MEL/DoEE_Species.py:108-113).
+
+    Relationally: LEFT join on the primary key, LEFT join on the
+    fallback key (dim pre-deduped to one row per fallback key by
+    min_by(primary) — the linear scan's first-match), then per-column
+    coalesce primary-hit over fallback-hit. Both joins broadcast when
+    the dim is small; `match_type` records which path resolved the row
+    (NULL = miss on both)."""
+    p1 = dim.select(
+        F.col(primary_key),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    p2 = dim.groupBy(fallback_key).agg(
+        *[
+            F.expr(f"min_by({c}, {primary_key})").alias(f"_f_{c}")
+            for c in payload_cols
+        ]
+    )
+    out = probe.join(F.broadcast(p1), primary_key, "left").join(
+        F.broadcast(p2), fallback_key, "left"
+    )
+    resolved = [
+        F.coalesce(F.col(f"_p_{c}"), F.col(f"_f_{c}")).alias(c) for c in payload_cols
+    ]
+    match_type = (
+        F.when(F.col(f"_p_{payload_cols[0]}").isNotNull(), "primary")
+        .when(F.col(f"_f_{payload_cols[0]}").isNotNull(), "fallback")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("match_type")
+    )
+    return out.select(*probe.columns, *resolved, match_type)
+
+
 def link_mentions_via_groupby(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """The direct formulation (candidate fan-out -> struct-max per
     mention). Kept for equivalence testing and for dictionaries too big

@@ -37,6 +37,7 @@ from mel_tnnt_spark.config import (
     GAZETTEER_ONTO,
     REGEX_MODEL_PATTERNS,
 )
+from mel_tnnt_spark.functions.automaton import AhoCorasick
 from mel_tnnt_spark.functions.text import py_context_sentence, split_long_text
 
 MENTION_SCHEMA = StructType(
@@ -70,6 +71,40 @@ def _gazetteer_detector(gazetteer: dict[str, str]) -> Detector:
                     break
                 spans.append((category, surface, offset, offset + len(surface)))
                 offset += len(surface)
+        return spans
+
+    return detect
+
+
+def ac_gazetteer_detector(gazetteer: dict[str, str]) -> Detector:
+    """Large-vocabulary gazetteer detector (J6 general form): one
+    Aho-Corasick pass per document — O(|text| + matches), independent
+    of |vocab| — instead of the reference's per-name containment scan
+    (code/MEL/DoEE_Species.py:279-393, O(|vocab|*|text|)) or this
+    module's naive _gazetteer_detector (same asymptotics, fine at ~20
+    aliases, unusable at 10^5).
+
+    Emits exactly the naive detector's spans: per surface, the greedy
+    non-overlapping occurrence set in ascending order (the reference's
+    find-advance semantics, code/NLP_NER/EntityRecognition.py:878-887)
+    — parity is test-pinned against _gazetteer_detector on a 10^4-name
+    vocabulary. The automaton builds once per python worker (detector
+    registry is worker-cached)."""
+    ac = AhoCorasick(list(gazetteer))
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        by_surface: dict[str, list[int]] = {}
+        for start, _end, pat in ac.find_all(text):
+            by_surface.setdefault(pat, []).append(start)
+        spans: list[tuple[str, str, int, int]] = []
+        for surface, starts in by_surface.items():
+            category = gazetteer[surface]
+            prev_end = -1
+            for s in sorted(starts):
+                if s < prev_end:
+                    continue  # overlaps the previous kept occurrence
+                prev_end = s + len(surface)
+                spans.append((category, surface, s, prev_end))
         return spans
 
     return detect
@@ -136,6 +171,107 @@ def _token_rule_detector() -> Detector:
     return detect
 
 
+class VectorizedTokenModel:
+    """M1-shaped REAL-MODEL execution demo: a numpy token classifier
+    with the exact runtime shape of a heavy NLP model behind the
+    Detector interface — lazy one-time weight load per python worker
+    (reference analogue: one-time model loading,
+    code/MEL/__init__.py:2351-2356), Arrow-BATCH vectorized inference
+    (one matmul over every token of every doc in the batch — the
+    flair/BERT batch-predict shape, code/NLP_NER/
+    EntityRecognition.py:517-580), then BIO chunking + running-offset
+    location like any token model.
+
+    The weights are deterministic and encode the title-case rule, so
+    its output is byte-identical to token_rule_model — which is the
+    parity test proving a real model (spaCy, flair, BERT) slots in
+    behind the same interface with no plan change (still ONE
+    MapInPandas stage)."""
+
+    _WEIGHTS = None  # class-level: one load per python worker process
+
+    @classmethod
+    def _load(cls):
+        if cls._WEIGHTS is None:
+            import numpy as np
+
+            # (features x classes): ENT logit = f_upper + f_lower_rest - 1.5
+            cls._WEIGHTS = np.array([[1.0, 0.0], [1.0, 0.0], [-1.5, 0.0]])
+        return cls._WEIGHTS
+
+    def detect_batch(self, texts: list[str]) -> list[list[tuple[str, str, int, int]]]:
+        import numpy as np
+
+        w = self._load()
+        toks_per_doc = [t.split() if t else [] for t in texts]
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        if not flat:
+            return [[] for _ in texts]
+        f_upper = np.fromiter(("A" <= t[0] <= "Z" for t in flat), float, len(flat))
+        f_rest = np.fromiter(
+            (len(t) >= 2 and all("a" <= c <= "z" for c in t[1:]) for t in flat),
+            float,
+            len(flat),
+        )
+        x = np.stack([f_upper, f_rest, np.ones(len(flat))], axis=1)
+        is_ent = (x @ w)[:, 0] > (x @ w)[:, 1]  # vectorized "inference"
+        out: list[list[tuple[str, str, int, int]]] = []
+        pos = 0
+        for text, toks in zip(texts, toks_per_doc):
+            tags = [
+                (tok, "B-CAPSEQ" if is_ent[pos + i] else "O") for i, tok in enumerate(toks)
+            ]
+            pos += len(toks)
+            spans: list[tuple[str, str, int, int]] = []
+            offset = 0
+            for chunk_text, cat in bio_chunks(tags):
+                offset = text.find(chunk_text, offset)
+                if offset < 0:
+                    offset = 0
+                    continue
+                spans.append((cat, chunk_text, offset, offset + len(chunk_text)))
+                offset += len(chunk_text)
+            out.append(spans)
+        return out
+
+    def __call__(self, text: str) -> list[tuple[str, str, int, int]]:
+        return self.detect_batch([text])[0]
+
+
+_SPACY_CACHE: dict[str, object] = {}
+
+
+def spacy_detector(model_name: str = "en_core_web_sm") -> Detector:
+    """M1 — an actual spaCy pipeline behind the Detector interface
+    (reference spaCy branch: entity.start_char/end_char,
+    code/NLP_NER/EntityRecognition.py:846-848). The pipeline loads
+    lazily ONCE per python worker (module-level cache + worker reuse);
+    raises ImportError where spaCy is absent (this sandbox) — the
+    integration test skips accordingly."""
+
+    def _nlp():
+        if model_name not in _SPACY_CACHE:
+            import spacy  # heavyweight: import inside the worker only
+
+            _SPACY_CACHE[model_name] = spacy.load(model_name)
+        return _SPACY_CACHE[model_name]
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        return [
+            (e.label_, e.text, e.start_char, e.end_char) for e in _nlp()(text).ents
+        ]
+
+    def detect_batch(texts: list[str]) -> list[list[tuple[str, str, int, int]]]:
+        nlp = _nlp()
+        return [
+            [(e.label_, e.text, e.start_char, e.end_char) for e in doc.ents]
+            for doc in nlp.pipe(texts)  # spaCy's own batched inference
+        ]
+
+    detect.detect_batch = detect_batch  # type: ignore[attr-defined]
+    return detect
+
+
 # Worker-side registry; built lazily so heavyweight models would only
 # load in the executor python worker, once, and be reused across batches.
 _DETECTOR_CACHE: dict[str, Detector] = {}
@@ -147,6 +283,7 @@ def _detectors() -> dict[str, Detector]:
         _DETECTOR_CACHE["gazetteer_conll_model"] = _gazetteer_detector(GAZETTEER_CONLL)
         _DETECTOR_CACHE["gazetteer_onto_model"] = _gazetteer_detector(GAZETTEER_ONTO)
         _DETECTOR_CACHE["token_rule_model"] = _token_rule_detector()
+        _DETECTOR_CACHE["vectorized_token_model"] = VectorizedTokenModel()
     return _DETECTOR_CACHE
 
 
@@ -222,6 +359,8 @@ def detect_mentions(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         registry = _detectors()
         cols = [f.name for f in MENTION_SCHEMA.fields]
+        per_doc = [m for m in models if not hasattr(registry[m], "detect_batch")]
+        batched = [m for m in models if hasattr(registry[m], "detect_batch")]
         for pdf in batches:
             c_doc: list = []
             c_model: list = []
@@ -230,7 +369,13 @@ def detect_mentions(
             c_s: list = []
             c_e: list = []
             c_sent: list = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+            doc_ids = list(pdf["doc_id"])
+            texts = [t if t else "" for t in pdf["_text"]]
+            # batch-capable models: ONE vectorized inference call per
+            # Arrow batch (sequence bounding is the model's own job,
+            # like the reference's per-model BERT splitter)
+            batch_spans = {m: registry[m].detect_batch(texts) for m in batched}
+            for i, (doc_id, text) in enumerate(zip(doc_ids, texts)):
                 if not text:
                     continue
                 lookup = SentenceLookup(text)
@@ -239,7 +384,7 @@ def detect_mentions(
                 else:
                     pieces = [(0, text)]
                 for base, piece in pieces:
-                    for model in models:
+                    for model in per_doc:
                         for category, entity, start, end in registry[model](piece):
                             c_doc.append(doc_id)
                             c_model.append(model)
@@ -248,6 +393,15 @@ def detect_mentions(
                             c_s.append(base + start)
                             c_e.append(base + end)
                             c_sent.append(lookup(base + start))
+                for model in batched:
+                    for category, entity, start, end in batch_spans[model][i]:
+                        c_doc.append(doc_id)
+                        c_model.append(model)
+                        c_cat.append(category)
+                        c_ent.append(entity)
+                        c_s.append(start)
+                        c_e.append(end)
+                        c_sent.append(lookup(start))
             yield pd.DataFrame(
                 dict(zip(cols, [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]))
             )

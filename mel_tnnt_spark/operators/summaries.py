@@ -91,12 +91,31 @@ def summary_by_category(canon: DataFrame) -> DataFrame:
 
 
 def descriptive_stats(fine_summary: DataFrame, key: str = "entity") -> DataFrame:
-    """A8 — the stats suite over per-entity model counts
-    (aggregation.py:70-146). `percentile` is the exact interpolated
-    percentile (matches statistics.quantiles/median semantics close
-    enough for parity tests; mode via max_by(count) of the value
-    histogram is done separately when needed)."""
-    return fine_summary.groupBy(key).agg(
+    """A8 — the full stats suite over per-entity model counts
+    (aggregation.py:70-146, which includes statistics.mode/multimode).
+    `percentile` is the exact interpolated percentile; mode/multimode
+    come from a value histogram: mode = smallest value among the
+    most-frequent (the reference's `mode` takes the first-seen, which is
+    nondeterministic under parallel scan order — smallest is the
+    deterministic refinement), multimode = ALL most-frequent values,
+    sorted (reference returns first-seen order)."""
+    hist = fine_summary.groupBy(key, "cnt").agg(F.count("*").alias("_c"))
+    modes = (
+        hist.groupBy(key)
+        .agg(
+            F.expr("min_by(cnt, struct(-_c, cnt))").alias("mode_cnt"),
+            F.max("_c").alias("_mc"),
+            F.collect_list(F.struct("_c", "cnt")).alias("_h"),
+        )
+        .select(
+            key,
+            "mode_cnt",
+            F.array_sort(
+                F.expr("transform(filter(_h, s -> s._c = _mc), s -> s.cnt)")
+            ).alias("multimode_cnt"),
+        )
+    )
+    base = fine_summary.groupBy(key).agg(
         F.max("cnt").alias("max_cnt"),
         F.min("cnt").alias("min_cnt"),
         F.round(F.avg("cnt"), 4).alias("mean_cnt"),
@@ -108,3 +127,4 @@ def descriptive_stats(fine_summary: DataFrame, key: str = "entity") -> DataFrame
         F.sum("cnt").alias("sum_cnt"),
         F.count("*").alias("n_groups"),
     )
+    return base.join(modes, key)

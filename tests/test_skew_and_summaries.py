@@ -63,6 +63,28 @@ def test_summary_shapes(spark, code_files):
     assert stats and all(r["min_cnt"] <= r["median_cnt"] <= r["max_cnt"] for r in stats)
 
 
+def test_descriptive_stats_mode_multimode(spark):
+    """A8 mode/multimode vs python statistics semantics: mode is the
+    smallest most-frequent value, multimode the sorted set of all
+    most-frequent values."""
+    import statistics
+
+    from mel_tnnt_spark.operators import summaries
+
+    data = {
+        "a": [1, 2, 2, 3, 3, 9],   # bimodal {2, 3}
+        "b": [5, 5, 5, 7],          # unimodal {5}
+        "c": [4],                   # single value
+    }
+    rows = [(k, v) for k, vals in data.items() for v in vals]
+    fine = spark.createDataFrame(rows, "entity string, cnt long")
+    got = {r["entity"]: r for r in summaries.descriptive_stats(fine).collect()}
+    for k, vals in data.items():
+        mm = sorted(statistics.multimode(vals))
+        assert got[k]["mode_cnt"] == mm[0]
+        assert list(got[k]["multimode_cnt"]) == mm
+
+
 def test_observed_counts(spark, code_files):
     from mel_tnnt_spark.operators.lineage import observed_counts
     from mel_tnnt_spark.operators.metadata import mel_stage, with_general_metadata
