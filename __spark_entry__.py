@@ -251,6 +251,24 @@ def q15(spark, sf_dir):
 
 
 @_q(
+    "q39_p2_only_startfrom",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE lang IN ('en', 'es') AND doc_id >= 100
+    """,
+)
+def q39(spark, sf_dir):
+    """P2 — the reference's only=/startFrom= run gating
+    (code/MEL/__init__.py:2365-2368) in its stateless form: an
+    allow-list predicate plus a start-key bound (both pushed to the
+    scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("lang").isin("en", "es") & (F.col("doc_id") >= 100)
+    ).select("doc_id", "lang", "source")
+
+
+@_q(
     "q16_w4_topk_docs",
     "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
 )

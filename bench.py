@@ -34,6 +34,8 @@ HEADLINE = [
     "q20_dd_simhash",
     "q21_sim_cosine_topk",
     "q28_cc_embedding_graph",
+    "q35_dd_lsh_pairs",
+    "q36_j6_large_vocab_containment",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -168,9 +168,18 @@ def code_files_distributed(spark: SparkSession, n_rows: int, seed: int = 42) -> 
             yield pd.DataFrame(rows, columns=cols)
 
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # Hash-distribute by (repo, path): simulates the production layout
+    # where the source table is BUCKETED on its key (Iceberg
+    # bucket(N, repo||path)), so the latest-wins aggregation and the
+    # key-only doc dim run WITHOUT an exchange — at 100 TB the dedup
+    # shuffle of content bytes is the single largest data movement, and
+    # bucketing is how a real deployment deletes it. The cached frame
+    # keeps this partitioning, and Catalyst elides the groupBy(repo,
+    # path) exchanges downstream (asserted in tests/test_plans.py).
     return (
         spark.range(0, n_rows, 1, n_parts)
         .mapInPandas(gen, CODE_FILES_SCHEMA)
+        .repartition("repo", "path")
     )
 
 

@@ -204,6 +204,26 @@ def ascii_fold_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(lambda t: py_ascii_fold(t) if t is not None else None)
 
 
+def clean_preprocess_series(s: pd.Series) -> pd.Series:
+    """F1+F2+F3 fused over a pandas Series — byte-identical to
+    py_preprocess_text(py_clean_text(x)) per element (equivalence-
+    tested). This is the in-batch half of the fused mention stage
+    (detect_mentions(preprocess=True)); the other half is not paying
+    two extra Arrow crossings of the content bytes.
+
+    Deliberately a per-element map, NOT a pandas .str chain: the chain
+    builds ~14 full intermediate copies of the batch's strings and is
+    memory-bandwidth-bound — measured on the 400k-doc scaling run it
+    was even with the map at 2 cores but 1.8x SLOWER at 8 (33.3 s vs
+    18.5 s end-to-end), exactly the bandwidth saturation a wide
+    cluster stage must avoid. The per-row composition touches each
+    string a constant number of times with cache-resident
+    intermediates."""
+    return s.map(
+        lambda t: py_preprocess_text(py_clean_text(t)) if t is not None else ""
+    )
+
+
 @F.pandas_udf(StringType())
 def clean_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """F2 as a pandas UDF (NFKD fold + the reference replacement chain)."""

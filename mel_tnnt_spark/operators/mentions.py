@@ -335,6 +335,7 @@ def detect_mentions(
     models: tuple[str, ...] = ("regex_model", "gazetteer_conll_model", "gazetteer_onto_model"),
     text_col: str = "preproc_text",
     max_chunk_chars: int = 65_536,
+    preprocess: bool = False,
 ) -> DataFrame:
     """mapInPandas over (doc_id, text) batches -> long mention rows.
 
@@ -353,7 +354,16 @@ def detect_mentions(
     unchunked path for any entity that does not straddle a chunk
     boundary (property-tested). This bounds per-call detector cost; for
     corpora with multi-GB single documents use detect_mentions_chunked,
-    which spreads one document's chunks across tasks."""
+    which spreads one document's chunks across tasks.
+
+    preprocess=True fuses F1+F2+F3 (clean + NER preprocess, byte-equal
+    py twins of the column expressions — equivalence-tested) into THIS
+    stage, so raw `content` crosses the Arrow boundary once instead of
+    three times (in/out of the clean-text pandas UDF, then in again
+    here) — at 100 TB the content bytes are the transfer bill. Offsets
+    and sentences refer to the preprocessed text either way."""
+    from mel_tnnt_spark.functions.text import clean_preprocess_series
+
     narrow = df.select("doc_id", F.col(text_col).alias("_text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,7 +380,10 @@ def detect_mentions(
             c_e: list = []
             c_sent: list = []
             doc_ids = list(pdf["doc_id"])
-            texts = [t if t else "" for t in pdf["_text"]]
+            if preprocess:
+                texts = clean_preprocess_series(pdf["_text"]).tolist()
+            else:
+                texts = [t if t else "" for t in pdf["_text"]]
             # batch-capable models: ONE vectorized inference call per
             # Arrow batch (sequence bounding is the model's own job,
             # like the reference's per-model BERT splitter)

@@ -24,10 +24,17 @@ from mel_tnnt_spark.config import label_classification_rows
 
 def label_classification_df(spark: SparkSession) -> DataFrame:
     """The (model, category) -> tnnt:* dim table
-    (code/NLP_NER_API/config.json:228-513). Tiny: always broadcast."""
-    return spark.createDataFrame(
-        label_classification_rows(), "model string, category string, tnnt_label string"
-    ).coalesce(1)
+    (code/NLP_NER_API/config.json:228-513). Tiny: always broadcast;
+    materialized once per session (static config — see linking._memo)."""
+    from mel_tnnt_spark.operators.linking import _memo
+
+    return _memo(
+        spark,
+        "label_classification",
+        lambda: spark.createDataFrame(
+            label_classification_rows(), "model string, category string, tnnt_label string"
+        ).coalesce(1),
+    )
 
 
 def canonicalize(mentions: DataFrame, label_map: DataFrame) -> DataFrame:

@@ -41,22 +41,30 @@ def run_pipeline(
     stage: str = "kg",
 ) -> PipelineResult:
     valid, quarantined = lineage.enforce_sha_invariant(src)
-    meta = metadata.mel_stage(valid)
+    meta_raw = metadata.latest_commit_only(
+        metadata.filter_processable(metadata.with_general_metadata(valid))
+    )
 
     if lineage_path is not None:
         lin = lineage.read_lineage(spark, lineage_path)
-        meta = lineage.pending_only(meta, lin, stage)
+        meta_raw = lineage.pending_only(meta_raw, lin, stage)
 
     # No checkpoint here: the text columns have exactly ONE consumer
     # (the mention stage, whose output is checkpointed below), so MEL →
     # mentions → linking fuses into a single pass over the source. The
     # doc-dim / lineage consumers of `meta` re-derive only pruned
     # columns — Catalyst drops the text-analysis UDFs for them.
-    meta = meta.select(
+    # The exposed metadata frame carries the text-analysis columns
+    # lazily; the mention stage takes RAW content and fuses
+    # clean+preprocess into its own mapInPandas (one Arrow crossing of
+    # the content bytes instead of three — see detect_mentions).
+    meta = metadata.with_text_analysis(meta_raw).select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha", "preproc_text"
     )
 
-    ments = mentions.detect_mentions(meta)
+    ments = mentions.detect_mentions(
+        meta_raw.select("doc_id", "content"), text_col="content", preprocess=True
+    )
     label_map = summaries.label_classification_df(spark)
     canon = summaries.canonicalize(ments, label_map)
 

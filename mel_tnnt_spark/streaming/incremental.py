@@ -45,10 +45,10 @@ def streaming_mentions(stream: DataFrame) -> DataFrame:
     latest-commit dedup is a global aggregate, so in streaming it moves
     to the per-batch stage / compaction; here every arriving commit
     yields mentions (append semantics)."""
-    meta = metadata.with_text_analysis(
-        metadata.filter_processable(metadata.with_general_metadata(stream))
+    meta = metadata.filter_processable(metadata.with_general_metadata(stream))
+    return mentions.detect_mentions(
+        meta.select("doc_id", "content"), text_col="content", preprocess=True
     )
-    return mentions.detect_mentions(meta)
 
 
 def run_incremental(

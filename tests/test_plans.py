@@ -46,12 +46,10 @@ def test_linking_is_broadcast_no_shuffle(spark, code_files):
         p = formatted_plan(df)
         return p.count("Exchange") - p.count("BroadcastExchange")
 
-    from mel_tnnt_spark.config import LABEL_CLASSIFICATION
-
-    dim = linking.resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION))
-    # linking adds ZERO shuffles on the mention path: every Exchange in
-    # the linked plan is already in its inputs (canon + tiny dim)
-    assert shuffles(linked) == shuffles(canon) + shuffles(dim)
+    # linking adds ZERO shuffles on the mention path: the pre-resolved
+    # dim is a session-memoized checkpoint (zero exchanges of its own),
+    # so every Exchange in the linked plan is already in canon
+    assert shuffles(linked) == shuffles(canon)
     assert plan_flags(linked)["broadcast_joins"] >= 2  # label map + alias dim
 
 
@@ -63,6 +61,32 @@ def test_broadcast_join_in_entry_queries(spark):
     q12 = e.queries()["q12_j6_containment_mentions"](spark, SF)
     assert plan_flags(q12)["row_udfs"] == 0
     assert plan_flags(q12)["whole_stage_codegen"]
+
+
+def test_bucketed_source_dedup_is_shuffle_free(spark):
+    """code_files_distributed hash-partitions by (repo, path) — the
+    bucketed-table simulation — so latest-wins dedup and the key-only
+    doc dim add ZERO exchanges over the cached source."""
+    from mel_tnnt_spark.datagen import code_files_distributed
+    from mel_tnnt_spark.operators import metadata
+
+    src = code_files_distributed(spark, n_rows=500, seed=1).cache()
+    src.count()
+    try:
+        def above_cache(df):
+            # the plan tree ABOVE the InMemoryTableScan (the cached
+            # relation's own build plan legitimately contains the
+            # one-time bucketing exchange)
+            return formatted_plan(df).split("InMemoryTableScan")[0]
+
+        deduped = metadata.latest_commit_only(
+            metadata.filter_processable(metadata.with_general_metadata(src))
+        )
+        assert "Exchange" not in above_cache(deduped), "max_by dedup re-shuffled"
+        keys = metadata.latest_commit_keys(metadata.with_general_metadata(src))
+        assert "Exchange" not in above_cache(keys)
+    finally:
+        src.unpersist()
 
 
 def test_pair_generators_have_no_cartesian(spark):

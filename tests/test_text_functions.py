@@ -102,3 +102,31 @@ def test_context_sentence_reference_semantics():
     # counts +1 per period, code/NLP_NER/EntityRecognition.py:825-832)
     assert py_context_sentence(12, text) == " Second two"
     assert py_context_sentence(len(text) - 1, text) == " Third three"
+
+
+def test_clean_preprocess_series_byte_identity(spark):
+    """The fused pandas .str chain must equal the py twins byte-for-byte
+    on adversarial inputs (unicode folds, control chars, surrogates,
+    escapes, None)."""
+    import random
+
+    import pandas as pd
+
+    from mel_tnnt_spark.functions.text import (
+        clean_preprocess_series,
+        py_clean_text,
+        py_preprocess_text,
+    )
+
+    rng = random.Random(5)
+    pool = [
+        "Grace Hopper", "café – test", "ab", "[x](y)", "https://a.b/c",
+        "$1,234.56", "tab\tnl\n", " sp", "line1\nline2\r\nline3",
+        "ctrl\x01\x02", "", "ab<=>cd@#!", "NFKD ①ﬁ fi",
+        "bel\x07bel", "back\\r\\nslash",
+    ]
+    texts = [" ".join(rng.choices(pool, k=rng.randint(0, 8))) for _ in range(500)]
+    texts.append(None)
+    got = clean_preprocess_series(pd.Series(texts, dtype=object)).tolist()
+    exp = [py_preprocess_text(py_clean_text(t)) if t is not None else "" for t in texts]
+    assert got == exp
