@@ -951,6 +951,168 @@ def q34(spark, sf_dir):
     )
 
 
+@_q(
+    "q40_j10_group_by_folder",
+    """
+    SELECT regexp_replace('corpus/' || lang || '/' || source || '/doc_' || doc_id,
+                          '/[^/]+$', '') AS parent,
+           count(*) AS n_files,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY parent
+    """,
+)
+def q40(spark, sf_dir):
+    """J10 — group-files-by-folder: derive the PARENT path prefix and
+    aggregate per folder (reference get_files_by_folder,
+    code/NLP_NER/Sampling.py:186-196). Same parent derivation as
+    metadata.with_general_metadata; map-side partial agg, one shuffle
+    on the folder key."""
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat_ws(
+        "/", F.lit("corpus"), "lang", "source", F.concat(F.lit("doc_"), F.col("doc_id"))
+    )
+    return (
+        docs.withColumn("parent", F.regexp_replace(path, "/[^/]+$", ""))
+        .groupBy("parent")
+        .agg(F.count("*").alias("n_files"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@_q(
+    "q41_s13_xml_metadata",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             'corpus/' || lang || '/doc_' || doc_id AS abs_path,
+             CASE WHEN doc_id % 11 = 3 THEN '<broken'
+                  ELSE '<Meta><METADATA><ABSOLUTEPATH>corpus/'
+                       || CASE WHEN doc_id % 7 = 0 THEN 'other' ELSE lang END
+                       || '/doc_' || doc_id || '</ABSOLUTEPATH><FILELENGTH>'
+                       || n_chars || '</FILELENGTH><MIMETYPE>text/plain</MIMETYPE></METADATA></Meta>'
+             END AS metadata_xml
+      FROM documents
+    )
+    SELECT doc_id,
+           (doc_id % 11 != 3 AND doc_id % 7 != 0) AS meta_read_ok,
+           CASE WHEN doc_id % 11 = 3 THEN NULL
+                ELSE regexp_extract(metadata_xml, '<FILELENGTH>([0-9]+)</FILELENGTH>', 1)::BIGINT
+           END AS file_length_meta
+    FROM x
+    """,
+)
+def q41(spark, sf_dir):
+    """S13 — XML metadata reader: per-doc NLNZ-style sidecar XML parsed
+    with from_xml (JVM-side), ABSOLUTEPATH correspondence guard applied
+    (code/MEL/__init__.py:1122-1143). Sidecars are synthesized from the
+    table's own columns (deterministic: every 7th doc gets a wrong-
+    folder path, every 11th-mod-3 a malformed sidecar), so the oracle
+    can verify both the parse and the guard."""
+    from mel_tnnt_spark.sources.xml_meta import parse_metadata_xml
+
+    docs = _t(spark, sf_dir, "documents")
+    good = F.concat(
+        F.lit("<Meta><METADATA><ABSOLUTEPATH>corpus/"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("other")).otherwise(F.col("lang")),
+        F.lit("/doc_"), F.col("doc_id"),
+        F.lit("</ABSOLUTEPATH><FILELENGTH>"), F.col("n_chars"),
+        F.lit("</FILELENGTH><MIMETYPE>text/plain</MIMETYPE></METADATA></Meta>"),
+    )
+    with_xml = docs.select(
+        "doc_id",
+        F.concat(F.lit("corpus/"), "lang", F.lit("/doc_"), "doc_id").alias("abs_path"),
+        F.when(F.col("doc_id") % 11 == 3, F.lit("<broken")).otherwise(good).alias("metadata_xml"),
+    )
+    return parse_metadata_xml(with_xml).select(
+        "doc_id", "meta_read_ok", F.col("meta")["FILELENGTH"].alias("file_length_meta")
+    )
+
+
+@_q(
+    "q42_p10_recursive_key_search",
+    """
+    WITH j AS (
+      SELECT event_type,
+             CASE event_type
+               WHEN 'click' THEN '{"k":' || json_extract_string(props, '$.k') || '}'
+               WHEN 'view'  THEN '{"a":{"k":' || json_extract_string(props, '$.k') || '}}'
+               ELSE '{"a":{"b":[{"k":' || json_extract_string(props, '$.k') || '}]}}'
+             END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           sum(coalesce(json_extract_string(payload, '$.k'),
+                        json_extract_string(payload, '$.a.k'),
+                        json_extract_string(payload, '$.a.b[0].k'))::BIGINT)::BIGINT AS sum_k,
+           count(*) AS n
+    FROM j GROUP BY event_type
+    """,
+)
+def q42(spark, sf_dir):
+    """P10 — recursive key search: values for key 'k' at ANY depth
+    (readJson, code/NLP_NER_API/interface/json_function.py:41-66),
+    over payloads nested 1-3 levels deep by event_type. The Spark side
+    runs the genuinely recursive walker (one Arrow crossing); the
+    oracle, knowing the synthesized depths, checks it with fixed-path
+    extraction."""
+    from mel_tnnt_spark.functions.json_nav import json_find_key
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    payload = (
+        F.when(F.col("event_type") == "click", F.concat(F.lit('{"k":'), k, F.lit("}")))
+        .when(F.col("event_type") == "view", F.concat(F.lit('{"a":{"k":'), k, F.lit("}}")))
+        .otherwise(F.concat(F.lit('{"a":{"b":[{"k":'), k, F.lit("}]}}")))
+    )
+    found = json_find_key(payload, "k")
+    return (
+        ev.select("event_type", F.element_at(found, 1).cast("long").alias("k_val"))
+        .groupBy("event_type")
+        .agg(F.sum("k_val").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q43_f15_deep_merge",
+    """
+    WITH m AS (
+      SELECT event_type,
+             json_merge_patch(props,
+                 '{"extra":{"m":7},"k":' || (json_extract_string(props, '$.k')::BIGINT + 1) || '}'
+             ) AS merged
+      FROM events
+    )
+    SELECT event_type,
+           sum(json_extract_string(merged, '$.k')::BIGINT)::BIGINT AS sum_k,
+           sum(json_extract_string(merged, '$.extra.m')::BIGINT)::BIGINT AS sum_m
+    FROM m GROUP BY event_type
+    """,
+)
+def q43(spark, sf_dir):
+    """F15 — deep dict merge (Utils.dict_update,
+    code/MEL/__init__.py:292-299): patch nested {extra:{m}} in and bump
+    k; verified via field extraction from the merged JSON (key-order
+    agnostic). Oracle twin is RFC 7386 json_merge_patch — identical to
+    dict_update when no nulls are present (documented in json_nav.py)."""
+    from mel_tnnt_spark.functions.json_nav import json_deep_merge
+
+    ev = _t(spark, sf_dir, "events")
+    patch = F.concat(
+        F.lit('{"extra":{"m":7},"k":'),
+        (F.get_json_object("props", "$.k").cast("long") + 1).cast("string"),
+        F.lit("}"),
+    )
+    merged = json_deep_merge(F.col("props"), patch)
+    return (
+        ev.select("event_type", merged.alias("merged"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("merged", "$.k").cast("long")).alias("sum_k"),
+            F.sum(F.get_json_object("merged", "$.extra.m").cast("long")).alias("sum_m"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

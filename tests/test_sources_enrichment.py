@@ -1,0 +1,282 @@
+"""Tests for sources (S7 JSON sink, S13 XML reader, M14 archive
+explode), JSON navigation (P10/F15), enrichment stand-ins (M12/M13),
+and the S6 merge-upsert sink."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+import zipfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P10 / F15 — json_nav
+# ---------------------------------------------------------------------------
+
+NESTED = {
+    "a": {"k": 1, "b": [{"k": "two"}, {"c": {"k": [3]}}]},
+    "k": {"deep": True},
+    "list": [1, 2],
+}
+
+
+def test_py_json_find_key_matches_reference_semantics():
+    from mel_tnnt_spark.functions.json_nav import py_json_find_key
+
+    # every value stored under "k", any depth, dicts+lists, doc order
+    assert py_json_find_key(NESTED, "k") == [1, "two", [3], {"deep": True}]
+    assert py_json_find_key(NESTED, "zzz") == []
+    assert py_json_find_key([NESTED, {"k": 9}], "k")[-1] == 9
+
+
+def test_py_json_find_value_parent_lookup():
+    from mel_tnnt_spark.functions.json_nav import py_json_find_value
+
+    obj = {"x": {"name": "alice", "role": "dev"}, "y": [{"name": "bob"}]}
+    parents = py_json_find_value(obj, "alice")
+    assert parents == [{"name": "alice", "role": "dev"}]
+
+
+def test_py_deep_merge_matches_dict_update():
+    from mel_tnnt_spark.functions.json_nav import py_deep_merge
+
+    d = {"a": {"x": 1, "y": 2}, "b": 1}
+    u = {"a": {"y": 20, "z": 30}, "c": 3}
+    assert py_deep_merge(d, u) == {"a": {"x": 1, "y": 20, "z": 30}, "b": 1, "c": 3}
+    # right side replaces scalar-with-dict and dict-with-scalar
+    assert py_deep_merge({"a": 1}, {"a": {"b": 2}}) == {"a": {"b": 2}}
+    assert py_deep_merge({"a": {"b": 2}}, {"a": 1}) == {"a": 1}
+
+
+def test_json_find_key_and_merge_columns(spark):
+    from mel_tnnt_spark.functions.json_nav import json_deep_merge, json_find_key
+
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps(NESTED), '{"a":{"y":9}}'),
+            (2, "not json", "{}"),
+            (3, None, None),
+        ],
+        "id int, j string, patch string",
+    )
+    got = {
+        r["id"]: (r["found"], r["merged"])
+        for r in df.select(
+            "id",
+            json_find_key(F.col("j"), "k").alias("found"),
+            json_deep_merge(F.col("j"), F.col("patch")).alias("merged"),
+        ).collect()
+    }
+    assert got[1][0] == ["1", "two", "[3]", '{"deep":true}']
+    m = json.loads(got[1][1])
+    assert m["a"]["y"] == 9 and m["a"]["k"] == 1  # merged, left keys kept
+    assert got[2][0] == []  # invalid json -> empty, not error
+    assert got[3][0] is None and json.loads(got[3][1]) == {}
+
+
+# ---------------------------------------------------------------------------
+# S7 — JSON sink round-trip
+# ---------------------------------------------------------------------------
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    from mel_tnnt_spark.sources.json_io import read_json_docs, write_json_docs
+
+    df = spark.createDataFrame(
+        [(1, "alpha", None), (2, None, 3.5)], "doc_id bigint, title string, score double"
+    )
+    path = str(tmp_path / "docs_json")
+    write_json_docs(df, path)
+    back = read_json_docs(spark, path, df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+    # explicit nulls serialized (schema reconstructible from files)
+    raw = spark.sparkContext.textFile(path).collect()
+    assert any('"title":null' in line for line in raw)
+
+
+# ---------------------------------------------------------------------------
+# S13 — XML metadata reader
+# ---------------------------------------------------------------------------
+
+def _xml(path: str, length: int = 10, mime: str = "text/plain") -> str:
+    return (
+        f"<Meta><METADATA><ABSOLUTEPATH>{path}</ABSOLUTEPATH>"
+        f"<FILELENGTH>{length}</FILELENGTH><MIMETYPE>{mime}</MIMETYPE>"
+        "</METADATA></Meta>"
+    )
+
+
+def test_xml_metadata_reader(spark):
+    from mel_tnnt_spark.sources.xml_meta import parse_metadata_xml
+
+    rows = [
+        ("r/a.py", _xml("r/a.py", 42)),          # good
+        ("r/b.py", _xml("r/OTHER/b.py")),         # same filename, wrong folder
+        ("r/c.py", "<not-xml"),                   # malformed -> NULL meta
+        ("r/d.py", _xml("\\\\?\\r/d.py", 7)),     # extended-win-path prefix
+    ]
+    df = spark.createDataFrame(rows, "abs_path string, metadata_xml string")
+    got = {r["abs_path"]: r for r in parse_metadata_xml(df).collect()}
+    assert got["r/a.py"]["meta_read_ok"] and got["r/a.py"]["meta"]["FILELENGTH"] == 42
+    assert not got["r/b.py"]["meta_read_ok"]  # correspondence guard
+    assert not got["r/c.py"]["meta_read_ok"]
+    assert got["r/d.py"]["meta_read_ok"] and got["r/d.py"]["meta"]["FILELENGTH"] == 7
+
+
+# ---------------------------------------------------------------------------
+# M14 — archive explode
+# ---------------------------------------------------------------------------
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_archive_explode(spark):
+    import gzip
+
+    from mel_tnnt_spark.sources.archives import explode_archive_members
+
+    rows = [
+        Row(doc_id="z", payload=_zip_bytes({"a.txt": b"alpha", "d/b.txt": b"beta"})),
+        Row(doc_id="t", payload=_tar_bytes({"x.py": b"print(1)"})),
+        Row(doc_id="g", payload=gzip.compress(b"gzipped text")),
+        Row(doc_id="p", payload=b"plain bytes"),
+        Row(doc_id="c", payload=b"PK\x03\x04corrupt!!!"),
+        Row(doc_id="n", payload=None),
+    ]
+    out = explode_archive_members(spark.createDataFrame(rows)).collect()
+    by_doc: dict[str, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    z = sorted(by_doc["z"], key=lambda r: r["member_index"])
+    assert [(r["member_path"], bytes(r["member_content"])) for r in z] == [
+        ("a.txt", b"alpha"),
+        ("d/b.txt", b"beta"),
+    ]
+    assert bytes(by_doc["t"][0]["member_content"]) == b"print(1)"
+    assert bytes(by_doc["g"][0]["member_content"]) == b"gzipped text"
+    # doc-0 pass-through convention for plain / corrupt / null payloads
+    assert by_doc["p"][0]["container"] == "none"
+    assert bytes(by_doc["p"][0]["member_content"]) == b"plain bytes"
+    assert by_doc["c"][0]["container"] == "none"
+    assert by_doc["n"][0]["member_content"] is None
+
+
+# ---------------------------------------------------------------------------
+# M12/M13 — enrichment stand-ins
+# ---------------------------------------------------------------------------
+
+TEXT = "Alice Johnson built the parser. She shipped it quickly. Bob praised Alice Johnson."
+
+
+def test_pos_tag_offsets_and_shape():
+    from mel_tnnt_spark.operators.enrichment import py_pos_tag
+
+    rows = py_pos_tag(TEXT)
+    assert all(TEXT[r["starts"] : r["ends"]] == r["token"] for r in rows)
+    by_tok = {r["token"]: r for r in rows}
+    assert by_tok["Johnson"]["pos"] == "PROPN" and by_tok["Johnson"]["tag"] == "NNP"
+    assert by_tok["built"]["pos"] == "VERB" and by_tok["built"]["dep"] == "ROOT"
+    assert by_tok["quickly"]["pos"] == "ADV"
+    assert by_tok["the"]["pos"] == "DET" and by_tok["the"]["dep"] == "det"
+    assert by_tok["shipped"]["lemma"] == "shipp"  # suffix stemmer
+    # sentence grouping: three sentences
+    assert {r["sent_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_coref_chains():
+    from mel_tnnt_spark.operators.enrichment import py_coref_chains
+
+    rows = py_coref_chains(TEXT)
+    by_mention: dict[str, list] = {}
+    for r in rows:
+        by_mention.setdefault(r["mention"], []).append(r)
+    # pronoun "She" resolves to the nearest preceding PROPN run
+    assert by_mention["She"][0]["representative"] == "Alice Johnson"
+    assert by_mention["it"][0]["representative"] == "Alice Johnson"
+    # repeated exact name joins the SAME chain as its first occurrence
+    aj = by_mention["Alice Johnson"]
+    assert len(aj) == 2 and aj[0]["chain_id"] == aj[1]["chain_id"] == 0
+    assert by_mention["She"][0]["chain_id"] == 0
+
+
+def test_enrichment_spark_stage(spark):
+    from mel_tnnt_spark.operators.enrichment import coref_resolve, pos_tag_tokens
+
+    df = spark.createDataFrame([("d1", TEXT), ("d2", "")], "doc_id string, content string")
+    pos = pos_tag_tokens(df).collect()
+    assert {r["doc_id"] for r in pos} == {"d1"}  # empty doc -> no rows
+    cor = coref_resolve(df).collect()
+    assert any(r["mention"] == "She" for r in cor)
+
+
+# ---------------------------------------------------------------------------
+# S6 — merge-upsert sink
+# ---------------------------------------------------------------------------
+
+def _read_kv(spark, path):
+    return {
+        (r["k"],): (r["v"],) for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_merge_upsert_insert_update_delete(spark, tmp_path):
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    merge_upsert(spark, target, base, keys=("k",))
+    assert _read_kv(spark, target) == {(1,): ("a",), (2,): ("b",), (3,): ("c",)}
+
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert"), (9, None, "delete")],
+        "k int, v string, op string",
+    )
+    merge_upsert(spark, target, changes, keys=("k",))
+    assert _read_kv(spark, target) == {(1,): ("a",), (2,): ("B",), (4,): ("d",)}
+
+
+def test_merge_upsert_crash_replay(spark, tmp_path):
+    """A crash after staging but before promote leaves the live table
+    intact; rerunning the same merge completes it (Iceberg commit-
+    pointer model scaled down)."""
+    import os
+
+    from mel_tnnt_spark.operators import merge_sink
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    target = str(tmp_path / "tbl2")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    merge_upsert(spark, target, base, keys=("k",))
+
+    changes = spark.createDataFrame([(1, "A2", "upsert")], "k int, v string, op string")
+    # simulate crash: build staging exactly like merge_upsert, skip promote
+    staged = spark.read.parquet(target).join(
+        changes.select("k").distinct(), ["k"], "left_anti"
+    ).unionByName(changes.drop("op"))
+    staging = target + merge_sink._STAGING_SUFFIX
+    staged.write.mode("overwrite").parquet(staging)
+    assert os.path.exists(staging)
+    assert _read_kv(spark, target) == {(1,): ("a",)}  # live untouched
+
+    merge_upsert(spark, target, changes, keys=("k",))  # replay
+    assert _read_kv(spark, target) == {(1,): ("A2",)}
+    assert not os.path.exists(staging)
+    assert not os.path.exists(target + merge_sink._OLD_SUFFIX)
