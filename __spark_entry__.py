@@ -1113,6 +1113,43 @@ def q43(spark, sf_dir):
     )
 
 
+@_q(
+    "q44_sim_multiprobe_ann",
+    """
+    WITH p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
+         q  AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+    sig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (list_dot_product(embedding::DOUBLE[], (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
+             (list_dot_product(embedding::DOUBLE[], (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS bucket
+      FROM embeddings),
+    qsig AS (
+      SELECT (list_dot_product((SELECT v FROM q), (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
+             (list_dot_product((SELECT v FROM q), (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS b)
+    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    FROM sig
+    WHERE (CASE WHEN substr(bucket,1,1) != substr((SELECT b FROM qsig),1,1) THEN 1 ELSE 0 END +
+           CASE WHEN substr(bucket,2,1) != substr((SELECT b FROM qsig),2,1) THEN 1 ELSE 0 END) <= 1
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
+)
+def q44(spark, sf_dir):
+    """Multi-probe LSH ANN (q22's single-probe gap closed): probe the
+    query bucket plus its Hamming-1 neighbors, exact rerank. With P=2
+    and 3 probes this scans 3 of 4 buckets — the oracle expresses the
+    same probe set as hamming(bucket, qsig) <= 1."""
+    from mel_tnnt_spark.operators.similarity import bucketed_ann_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pivots = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    return bucketed_ann_multiprobe(emb, "vec_id", "embedding", qv, pivots, k=5, n_probes=3)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -170,34 +170,52 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash signature over word tokens (weight = occurrence count).
-    bit_b(doc) = 1 iff sum over tokens(cnt * (2*bit_b(h(token)) - 1)) > 0;
-    signature = sum(bit_b << b). 16 bits keeps the oracle SQL tractable;
-    the Spark plan is identical at 64 bits.
+def _bit_mask(b: int) -> int:
+    # bit 63 of a signed long is the sign bit; (1 << 63) wraps to
+    # min-long, matching shiftleft(1L, 63) semantics
+    return (1 << b) if b < 63 else -(1 << 63)
 
-    Fully relational: tokens -> counts -> explode bit positions ->
-    conditional sum -> re-aggregate. Two shuffles, both partial-agg."""
-    tok = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.lower(text_col), r"\s+")).alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.expr(_h("t")))
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature over word tokens (weight = occurrence count;
+    per-occurrence sign sums are identical). bit_b(doc) = 1 iff
+    sum over token occurrences((2*bit_b(h(token)) - 1)) > 0;
+    signature = sum(bit_b << b). 16 bits keeps the oracle SQL
+    tractable; the Spark plan is identical at 64 bits.
+
+    ZERO shuffles and zero row inflation: the whole signature is a
+    per-row fold — tokenize with split, hash each token once via
+    transform, accumulate the bits-wide contribution vector with
+    aggregate+zip_with (all JVM-side higher-order functions), then
+    pack the sign bits. The earlier formulation exploded tokens x bits
+    rows through a shuffle (x64 at production width); this one is
+    embarrassingly parallel, the ideal 100-TB plan. Docs with no
+    tokens produce no row (parity with the explode formulation)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    bitted = tok.select(
-        "id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).select("id", "b", (F.col("cnt") * F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("contrib"))
-    return (
-        bitted.groupBy("id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", (F.col("s") > 0).cast("long"))
-        .groupBy("id")
-        .agg(F.sum(F.expr("bit * shiftleft(cast(1 as bigint), b)")).alias("simhash"))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
+
+    def contrib(h):
+        return F.array(
+            *[
+                ((h.bitwiseAND(F.lit(_bit_mask(b))) != 0).cast("long") * 2 - 1)
+                for b in range(bits)
+            ]
+        )
+
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    acc = F.aggregate(hashes, zero, lambda a, h: F.zip_with(a, contrib(h), lambda x, y: x + y))
+    folded = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_toks"), acc.alias("acc")
+    ).where(F.col("n_toks") > 0)
+    sig = None
+    for b in range(bits):
+        term = (F.element_at(F.col("acc"), b + 1) > 0).cast("long") * F.lit(_bit_mask(b))
+        sig = term if sig is None else sig + term
+    return folded.select("id", sig.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -83,3 +83,59 @@ def bucketed_ann(
         F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def query_signature(query_vec: list[float], pivots: list[list[float]]) -> str:
+    return "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in pivots
+    )
+
+
+def multiprobe_buckets(
+    query_vec: list[float], pivots: list[list[float]], n_probes: int
+) -> list[str]:
+    """Probe sequence: the query's own bucket, then Hamming-1 neighbors
+    ordered by |dot(q, pivot_i)| ascending — flip the LEAST confident
+    sign first (the standard multi-probe LSH heuristic: a point near a
+    pivot hyperplane is the likeliest to have landed on the other
+    side). Driver-side: P is small (8-32), the bucket list is tiny."""
+    base = query_signature(query_vec, pivots)
+    margins = sorted(
+        range(len(pivots)),
+        key=lambda i: abs(sum(a * b for a, b in zip(query_vec, pivots[i]))),
+    )
+    probes = [base]
+    for i in margins:
+        flipped = base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1 :]
+        probes.append(flipped)
+    return probes[:n_probes]
+
+
+def bucketed_ann_multiprobe(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Multi-probe LSH ANN: scan the query's bucket PLUS its least-
+    confident Hamming-1 neighbors (n_probes total), exact cosine
+    rerank. Recovers most of the recall a single probe loses at the
+    cost of n_probes/2^P of the data scanned — the standard trade for
+    one table instead of L independent tables (same memory as single-
+    probe). Still one scan with an IN filter; no shuffle, no UDF."""
+    import math
+
+    probes = multiprobe_buckets(query_vec, pivots, n_probes)
+    bucketed = pivot_signature(emb, id_col, vec_col, pivots).where(
+        F.col("bucket").isin(probes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = bucketed.withColumn("q", q).select(
+        F.col("id").alias(id_col),
+        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -91,6 +91,49 @@ def test_bucketed_ann_recall(spark):
     assert {r["vec_id"] for r in approx} & exact_ids
 
 
+def test_multiprobe_ann_recall_dominates_single(spark):
+    """Multi-probe (3 probes of 2^2 buckets) must achieve recall@5 >=
+    single-probe recall on every query, and strictly higher on at
+    least one of the probed queries (it scans a superset)."""
+    from mel_tnnt_spark.operators.similarity import (
+        bucketed_ann,
+        bucketed_ann_multiprobe,
+        cosine_topk,
+        multiprobe_buckets,
+        query_signature,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    pivots = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    improved = False
+    singles, multis = [], []
+    for qid in (7, 13, 21, 42, 55):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        probes = multiprobe_buckets(qv, pivots, 3)
+        assert probes[0] == query_signature(qv, pivots) and len(set(probes)) == 3
+        exact = {r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", qv, k=5).collect()}
+        single = {
+            r["vec_id"] for r in bucketed_ann(emb, "vec_id", "embedding", qv, pivots, k=5).collect()
+        }
+        multi = {
+            r["vec_id"]
+            for r in bucketed_ann_multiprobe(
+                emb, "vec_id", "embedding", qv, pivots, k=5, n_probes=3
+            ).collect()
+        }
+        r_single = len(single & exact) / 5
+        r_multi = len(multi & exact) / 5
+        singles.append(r_single)
+        multis.append(r_multi)
+        assert r_multi >= r_single
+        improved = improved or r_multi > r_single
+    assert improved, f"multi-probe never improved recall: {singles} vs {multis}"
+    emb.unpersist()
+
+
 def test_embedding_lsh_recall_vs_exact(spark):
     """Blocked (banded random-hyperplane) near-dup pairs vs the exact
     all-pairs path at sf0.001: candidates must be a subset, and recall
