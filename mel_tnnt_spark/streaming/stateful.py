@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator: first-seen dedup with running
+duplicate counts, via applyInPandasWithState.
+
+Role: the streaming twin of `operators/dedup.exact_dedup` + the
+reference's skip-already-processed gate (code/MEL/__init__.py:
+2365-2368) — in a continuous ingest, only the FIRST document with a
+given content hash should flow downstream (NER, linking, triples);
+later arrivals only bump a duplicate counter. Spark's built-in
+`dropDuplicates` on a stream cannot report those counts and keeps
+state forever by default; a custom GroupState gives both the
+first-seen row and a live dup-count signal for monitoring.
+
+Semantics (update output mode):
+- first batch a key appears in emits (key, first_id, dups) where
+  first_id = min id in the batch and dups = arrivals - 1;
+- every later batch containing the key emits the same first_id with
+  the cumulative dup count — state persists across micro-batches via
+  the streaming checkpoint, so a restart resumes exactly.
+
+Scale notes: state is per content-hash, O(distinct docs) across the
+cluster, hash-partitioned by the groupBy — the same key layout as the
+batch exact_dedup shuffle. Keys are hashes (fixed width), values two
+scalars, so state size is bounded and skew-free. For bounded state on
+unbounded streams, add a watermark on an event-time column and switch
+to EventTimeTimeout to expire keys (not needed for the ingest-dedup
+role, where keys must live for the corpus lifetime; production would
+periodically compact state into the batch lineage table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "key string, first_id string, dups long"
+STATE_SCHEMA = "first_id string, dups long"
+
+
+def first_seen_updates(
+    stream: DataFrame, key_col: str = "text_hash", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming first-seen dedup: one update row per (key, batch) with
+    the stable first_id and the cumulative duplicate count."""
+    narrow = stream.select(
+        stream[key_col].alias("key"), stream[id_col].alias("id")
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        arrivals = 0
+        batch_min: str | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                arrivals += len(pdf)
+                m = pdf["id"].min()
+                batch_min = m if batch_min is None else min(batch_min, m)
+        if arrivals == 0:
+            return
+        if state.exists:
+            first_id, dups = state.get
+            dups += arrivals
+        else:
+            first_id, dups = batch_min, arrivals - 1
+        state.update((first_id, dups))
+        yield pd.DataFrame([{"key": key[0], "first_id": first_id, "dups": dups}])
+
+    return narrow.groupBy("key").applyInPandasWithState(
+        fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

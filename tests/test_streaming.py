@@ -76,3 +76,50 @@ def test_mention_rate_window(spark, tmpdirs):
         )
     )
     assert {tuple(r) for r in rows} == {tuple(r) for r in batch.collect()}
+
+
+def test_stateful_first_seen_dedup(spark, tmpdirs):
+    """applyInPandasWithState: state persists across micro-batches —
+    a key seen in batch 1 and again in batch 2 keeps its original
+    first_id and accumulates the dup count; restart from checkpoint
+    does not re-emit."""
+    from mel_tnnt_spark.streaming.stateful import first_seen_updates
+
+    src = f"{tmpdirs}/docs"
+    # batch 1: h1 twice (one dup), h2 once; batch 2: h1 again, h3 new
+    b1 = spark.createDataFrame(
+        [("h1", "d01"), ("h1", "d02"), ("h2", "d03")], "text_hash string, doc_id string"
+    )
+    b2 = spark.createDataFrame(
+        [("h1", "d04"), ("h3", "d05")], "text_hash string, doc_id string"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        rows = []
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            first_seen_updates(stream)
+            .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdirs}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    rows1 = run()
+    got1 = {(r["key"]): (r["first_id"], r["dups"]) for r in rows1}
+    assert got1 == {"h1": ("d01", 1), "h2": ("d03", 0)}
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    rows2 = run()
+    got2 = {(r["key"]): (r["first_id"], r["dups"]) for r in rows2}
+    # only the delta batch emits; h1 keeps first_id=d01 from restored
+    # state and the dup count accumulates; h2 unchanged -> no emission
+    assert got2 == {"h1": ("d01", 2), "h3": ("d05", 0)}
