@@ -1150,6 +1150,42 @@ def q44(spark, sf_dir):
     return bucketed_ann_multiprobe(emb, "vec_id", "embedding", qv, pivots, k=5, n_probes=3)
 
 
+@_q(
+    "q45_sim_ivf_ann",
+    """
+    WITH c AS (
+      SELECT vec_id AS cidx, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cidx,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.cidx) AS rn
+      FROM embeddings e CROSS JOIN c),
+    assigned AS (SELECT vec_id, v, cidx FROM assign WHERE rn = 1),
+    probe AS (SELECT cidx FROM c
+              ORDER BY list_distance((SELECT v FROM q), cv), cidx LIMIT 2)
+    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    FROM assigned WHERE cidx IN (SELECT cidx FROM probe)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
+)
+def q45(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path, complementing LSH
+    q22/q44): assign every vector to its nearest of 4 data-derived
+    centroids, probe the 2 centroids nearest the query, exact rerank.
+    The oracle reproduces the assignment with a row_number argmin and
+    the same (distance, index) tie order."""
+    from mel_tnnt_spark.operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    return ivf_ann(emb, "vec_id", "embedding", qv, cents, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 
 

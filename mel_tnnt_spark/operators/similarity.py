@@ -1,11 +1,13 @@
 """Approximate-nearest-neighbour search over an embedding column.
 
 Baseline: brute-force cosine top-k (exact; one pass, no shuffle beyond
-the top-k aggregation). Scale path: pivot-signature LSH — bucket by the
-sign pattern of dot products against P pivot vectors (deterministic:
-the first P dataset vectors), search only the query's bucket, rerank
-exactly. Both stay JVM-side (aggregate/zip_with higher-order
-functions); no UDFs.
+the top-k aggregation). Scale paths: (a) pivot-signature LSH — bucket
+by the sign pattern of dot products against P pivot vectors
+(deterministic: the first P dataset vectors), search the query's
+bucket (single-probe) or its least-confident Hamming-1 neighbors too
+(multi-probe); (b) IVF — coarse-quantize to the nearest of C data-
+derived centroids and probe the nprobe lists nearest the query. All
+stay JVM-side (aggregate/zip_with higher-order functions); no UDFs.
 
 At 100 TB the brute-force variant is a full scan per query — fine for
 batch scoring (it vectorizes and prunes to one column), while the
@@ -79,6 +81,72 @@ def bucketed_ann(
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     qn = math.sqrt(sum(x * x for x in query_vec))
     scored = bucketed.withColumn("q", q).select(
+        F.col("id").alias(id_col),
+        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _lit_vec(p: list[float]) -> str:
+    return f"array({','.join(f'{x!r}D' for x in p)})"
+
+
+def _sq_l2(a: str, p: list[float]) -> F.Column:
+    """Squared L2 distance to a literal centroid (sqrt skipped — only
+    the ordering matters and square is monotone)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {_lit_vec(p)}, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (first index on ties — matches the oracle's row_number
+    order). Per-row argmin over an array of codegen'd distance
+    expressions: no crossJoin against the centroid table, no shuffle,
+    no UDF. Centroids are data-derived (caller picks seeds or k-means
+    output) so Spark and the SQL oracle agree bit-for-bit.
+
+    At scale: C centroids (typically sqrt(N), e.g. 2^10-2^14) live in
+    the plan as literals/broadcast; assignment is embarrassingly
+    parallel; write the output partitioned BY centroid so each probe
+    reads only its lists (partition pruning does IVF's inverted-list
+    seek)."""
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    ds = F.array(*[_sq_l2("v", c) for c in centroids])
+    return v.withColumn(
+        "centroid", (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF search: probe the nprobe centroids nearest the query
+    (driver-side — C is small), scan only vectors assigned to them,
+    exact cosine rerank. The classic recall/cost dial: nprobe=C is
+    exact; nprobe/C is the fraction of data scanned."""
+    import math
+
+    def sq_l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: (sq_l2(query_vec, centroids[i]), i))
+    probes = order[:nprobe]
+    assigned = ivf_assign(emb, id_col, vec_col, centroids).where(
+        F.col("centroid").isin(probes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = assigned.withColumn("q", q).select(
         F.col("id").alias(id_col),
         F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
     )

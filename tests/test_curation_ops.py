@@ -134,6 +134,38 @@ def test_multiprobe_ann_recall_dominates_single(spark):
     emb.unpersist()
 
 
+def test_ivf_ann_assignment_and_recall(spark):
+    """IVF: every vector lands in exactly one list; nprobe=C recovers
+    the exact top-k; recall grows monotonically with nprobe."""
+    from mel_tnnt_spark.operators.similarity import cosine_topk, ivf_ann, ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    assigned = ivf_assign(emb, "vec_id", "embedding", cents)
+    n = emb.count()
+    assert assigned.count() == n
+    cset = {r["centroid"] for r in assigned.select("centroid").distinct().collect()}
+    assert cset <= {0, 1, 2, 3}
+    # seed vectors are their own nearest centroid
+    seeds = {r["id"]: r["centroid"] for r in assigned.where(F.col("id") < 4).collect()}
+    assert seeds == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [tuple(r) for r in cosine_topk(emb, "vec_id", "embedding", qv, k=5).collect()]
+    full = [tuple(r) for r in ivf_ann(emb, "vec_id", "embedding", qv, cents, k=5, nprobe=4).collect()]
+    assert full == exact  # probing every list IS the exact search
+    rec = []
+    eset = {t[0] for t in exact}
+    for np_ in (1, 2, 4):
+        got = {r["vec_id"] for r in ivf_ann(emb, "vec_id", "embedding", qv, cents, k=5, nprobe=np_).collect()}
+        rec.append(len(got & eset) / 5)
+    assert rec[0] <= rec[1] <= rec[2] == 1.0
+    emb.unpersist()
+
+
 def test_embedding_lsh_recall_vs_exact(spark):
     """Blocked (banded random-hyperplane) near-dup pairs vs the exact
     all-pairs path at sf0.001: candidates must be a subset, and recall
