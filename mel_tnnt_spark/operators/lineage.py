@@ -72,6 +72,34 @@ def record_done(docs: DataFrame, lineage_path: str, stage: str, batch_id: str) -
     )
 
 
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-PARTITION counters (north-star: 'every stage checkpoints
+    per-partition lineage and counters'): one row per task partition
+    with row count and distinct-doc estimate. Computed with a single
+    map-side-combined groupBy on spark_partition_id() — at 1000
+    executors this is one tiny shuffle of O(partitions) rows. Persist
+    next to the lineage table per stage/batch to expose skew (a hot
+    partition shows up as an outlier row, the salting trigger)."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("doc_id").alias("docs"),
+    )
+
+
+def record_partition_metrics(
+    df: DataFrame, metrics_path: str, stage: str, batch_id: str
+) -> None:
+    """Append per-partition counters for this stage/batch (parquet
+    stand-in for the Iceberg metrics table)."""
+    (
+        partition_metrics(df)
+        .withColumn("stage", F.lit(stage))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(metrics_path)
+    )
+
+
 def observed_counts(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
     """A12 — run counters via observe(): rows + distinct-ish doc count
     computed during the action that consumes `df`, no second pass."""

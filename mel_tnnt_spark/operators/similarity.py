@@ -121,6 +121,57 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer, done relationally:
+    seed with the first C vectors (deterministic), then per iteration
+    assign (per-row argmin, no shuffle) -> per-centroid per-dimension
+    mean (posexplode + ONE groupBy on (centroid, dim), map-side
+    partial agg) -> collect the C x d means to the driver (bounded:
+    C*d doubles, independent of N). Empty clusters keep their previous
+    centroid. This is the standard distributed k-means shape — state
+    that crosses iterations is only the tiny centroid table."""
+    from pyspark.sql import functions as _F
+
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, id_col, vec_col, centroids)
+        means = (
+            assigned.select("centroid", _F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid", "dim")
+            .agg(_F.avg("x").alias("m"))
+            .groupBy("centroid")
+            .agg(_F.array_sort(_F.collect_list(_F.struct("dim", "m"))).alias("dm"))
+            .select("centroid", _F.transform("dm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["centroid"]] = [float(x) for x in r["mean"]]
+        centroids = new
+    return centroids
+
+
+def ivf_distortion(
+    emb: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> float:
+    """Mean squared distance to the assigned centroid (training loss)."""
+    assigned = ivf_assign(emb, id_col, vec_col, centroids)
+    ds = F.array(*[_sq_l2("v", c) for c in centroids])
+    return assigned.select(F.array_min(ds).alias("d")).agg(F.avg("d")).first()[0]
+
+
 def ivf_ann(
     emb: DataFrame,
     id_col: str,

@@ -1,0 +1,63 @@
+"""Tests for IVF k-means training and per-partition lineage metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ivf_train_reduces_distortion(spark):
+    from mel_tnnt_spark.operators.similarity import ivf_distortion, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    trained = ivf_train(emb, "vec_id", "embedding", n_centroids=4, iters=2)
+    assert len(trained) == 4 and len(trained[0]) == len(seeds[0])
+    d_seed = ivf_distortion(emb, "vec_id", "embedding", seeds)
+    d_trained = ivf_distortion(emb, "vec_id", "embedding", trained)
+    # Lloyd iterations never increase the objective (means minimize
+    # within-cluster squared distance)
+    assert d_trained <= d_seed + 1e-9
+    assert d_trained < d_seed  # and strictly improve on raw-seed init
+    emb.unpersist()
+
+
+def test_ivf_train_deterministic(spark):
+    from mel_tnnt_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ivf_train(emb, "vec_id", "embedding", n_centroids=3, iters=1)
+    b = ivf_train(emb, "vec_id", "embedding", n_centroids=3, iters=1)
+    assert a == b
+
+
+def test_partition_metrics_totals_and_skew(spark, tmp_path):
+    from mel_tnnt_spark.operators.lineage import (
+        partition_metrics,
+        record_partition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "x" * 10) for i in range(400)], "doc_id string, content string"
+    ).repartition(8)
+    pm = partition_metrics(df).collect()
+    assert sum(r["rows"] for r in pm) == 400
+    assert len(pm) <= 8 and all(r["rows"] > 0 for r in pm)
+
+    # a skewed layout is visible as an outlier partition row
+    skewed = df.repartition(8, F.when(F.col("doc_id") == "d0", 0).otherwise(F.crc32("doc_id")))
+    # force 90% of rows onto one key -> one partition dominates
+    hot = spark.createDataFrame(
+        [(f"h{i}", "y") for i in range(3600)], "doc_id string, content string"
+    ).withColumn("k", F.lit(0))
+    cold = df.withColumn("k", F.crc32("doc_id"))
+    pm2 = partition_metrics(hot.unionByName(cold).repartition(8, "k")).collect()
+    assert max(r["rows"] for r in pm2) >= 3600  # the hot partition stands out
+
+    path = str(tmp_path / "metrics")
+    record_partition_metrics(df, path, stage="mentions", batch_id="b1")
+    back = spark.read.parquet(path)
+    assert back.agg(F.sum("rows")).first()[0] == 400
+    assert {r["stage"] for r in back.select("stage").distinct().collect()} == {"mentions"}
