@@ -33,7 +33,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from mel_tnnt_spark.datagen import code_files_df
-    from mel_tnnt_spark.operators.lineage import record_done
+    from mel_tnnt_spark.operators.lineage import record_done, record_partition_metrics
     from mel_tnnt_spark.operators.triples import write_triples
     from mel_tnnt_spark.pipeline import run_pipeline
 
@@ -57,6 +57,12 @@ def main() -> None:
     elapsed = time.time() - t0
     if args.lineage is not None:
         record_done(res.metadata, args.lineage, "kg", args.batch_id)
+        # per-partition counters next to the lineage table: skew in the
+        # mention stage shows up as an outlier (partition_id, rows) row
+        if n_triples:
+            record_partition_metrics(
+                res.triples, args.lineage + "_pmetrics", "triples", args.batch_id
+            )
     print(
         json.dumps(
             {

@@ -80,9 +80,11 @@ def partition_metrics(df: DataFrame) -> DataFrame:
     executors this is one tiny shuffle of O(partitions) rows. Persist
     next to the lineage table per stage/batch to expose skew (a hot
     partition shows up as an outlier row, the salting trigger)."""
+    key = "doc_id" if "doc_id" in df.columns else ("subj" if "subj" in df.columns else None)
+    docs = F.approx_count_distinct(key) if key else F.lit(None).cast("long")
     return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
         F.count(F.lit(1)).alias("rows"),
-        F.approx_count_distinct("doc_id").alias("docs"),
+        docs.alias("docs"),
     )
 
 
