@@ -38,6 +38,73 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUT_SCHEMA = "key string, first_id string, dups long"
 STATE_SCHEMA = "first_id string, dups long"
 
+SESSION_OUT = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE = "start long, last long, n long"  # epoch millis
+
+
+def sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time sessionization with EventTimeTimeout — the bounded-
+    state pattern the first-seen dedup deliberately omits: a session
+    closes (and its state is FREED) when the watermark passes
+    last_event + gap, so state size tracks concurrent activity, not
+    history. Emits one row per closed session (append mode); open
+    sessions survive restarts via the checkpoint and close on a later
+    micro-batch. Spark's built-in session_window covers plain counts;
+    the custom GroupState version is the extension point for carrying
+    richer per-session payloads (e.g. mention sets per repo-ingest
+    session)."""
+    gap_ms = gap_minutes * 60 * 1000
+    wm = stream.select(
+        stream[user_col].alias("user_id"), stream[ts_col].alias("ts")
+    ).withWatermark("ts", watermark)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(start, unit="ms"),
+                        "session_end": pd.Timestamp(last, unit="ms"),
+                        "n_events": n,
+                    }
+                ]
+            )
+            return
+        mn = mx = None
+        cnt = 0
+        for pdf in pdfs:
+            if len(pdf):
+                cnt += len(pdf)
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                bmn, bmx = int(ms.min()), int(ms.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        if cnt:
+            if state.exists:
+                start, last, n = state.get
+                state.update((start, max(last, mx), n + cnt))
+            else:
+                state.update((mn, mx, cnt))
+            state.setTimeoutTimestamp(state.get[1] + gap_ms)
+        return
+
+    return wm.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUT, SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
 
 def first_seen_updates(
     stream: DataFrame, key_col: str = "text_hash", id_col: str = "doc_id"

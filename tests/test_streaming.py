@@ -123,3 +123,39 @@ def test_stateful_first_seen_dedup(spark, tmpdirs):
     # only the delta batch emits; h1 keeps first_id=d01 from restored
     # state and the dup count accumulates; h2 unchanged -> no emission
     assert got2 == {"h1": ("d01", 2), "h3": ("d05", 0)}
+
+
+def test_sessionize_event_time_timeout(spark, tmpdirs):
+    """EventTimeTimeout: a session closes (state freed, row emitted)
+    only after the watermark passes last_event + gap; open sessions
+    emit nothing."""
+    from mel_tnnt_spark.streaming.stateful import sessionize
+
+    src = f"{tmpdirs}/ev"
+    schema = "user_id long, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    write([(1, t(10, 0)), (1, t(10, 5))])   # batch 1: user 1 session
+    write([(2, t(12, 0))])                   # batch 2: watermark 9:55
+    write([(2, t(12, 5))])                   # batch 3: watermark 11:50 -> closes user 1
+
+    rows = []
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["user_id"]): (r["session_start"], r["session_end"], r["n_events"]) for r in rows}
+    assert got == {1: (t(10, 0), t(10, 5), 2)}  # user 2 still open -> absent
