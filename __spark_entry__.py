@@ -1186,6 +1186,78 @@ def q45(spark, sf_dir):
     return ivf_ann(emb, "vec_id", "embedding", qv, cents, k=5, nprobe=2)
 
 
+@_q(
+    "q46_w_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM o)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q46(spark, sf_dir):
+    """Batch session windows (the batch twin of streaming/stateful.
+    sessionize): Spark's session_window merges events closer than the
+    gap; the oracle is the classic gaps-and-islands formulation. Spark
+    session windows are half-open ([start, last+gap)), so the break
+    condition is diff >= gap on both sides. session_end is max(ts)
+    (not window.end) so the engines emit identical columns."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@_q(
+    "q47_w_analytic_running_revenue",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+      FROM orders)
+    SELECT o_custkey, o_orderkey, rk, running_revenue
+    FROM r WHERE rk <= 3
+    """,
+)
+def q47(spark, sf_dir):
+    """Analytic window functions (running aggregates + top-N-per-key):
+    one hash-partitioned sort per customer, no self-join — the plan a
+    100-TB per-key history scan wants. Ties broken by o_orderkey so
+    both engines rank identically."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rk"),
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+                "running_revenue"
+            ),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
