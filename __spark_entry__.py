@@ -353,18 +353,19 @@ def q12(spark, sf_dir):
     "q37_j2_lookup_with_fallback",
     """
     WITH dim AS (SELECT doc_id AS k_id, lang AS k_name, source AS src FROM documents),
-    fb AS (SELECT k_name, arg_min(src, k_id) AS f_src FROM dim GROUP BY k_name),
+    fb AS (SELECT k_name, arg_min(src, k_id) AS f_src, TRUE AS f_hit
+           FROM dim GROUP BY k_name),
     probe AS (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN -1 - doc_id ELSE doc_id END AS k_id,
              lang AS k_name
       FROM documents)
     SELECT p.doc_id, p.k_id, p.k_name,
-           coalesce(d.src, f.f_src) AS src,
-           CASE WHEN d.src IS NOT NULL THEN 'primary'
-                WHEN f.f_src IS NOT NULL THEN 'fallback' END AS match_type
+           CASE WHEN d.p_hit THEN d.src WHEN f.f_hit THEN f.f_src END AS src,
+           CASE WHEN d.p_hit THEN 'primary'
+                WHEN f.f_hit THEN 'fallback' END AS match_type
     FROM probe p
-    LEFT JOIN (SELECT k_id, src FROM dim) d USING (k_id)
+    LEFT JOIN (SELECT k_id, src, TRUE AS p_hit FROM dim) d USING (k_id)
     LEFT JOIN fb f USING (k_name)
     """,
 )

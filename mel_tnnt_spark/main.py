@@ -25,7 +25,12 @@ def main() -> None:
     ap.add_argument("--lineage", default=None, help="lineage table dir (enables resume)")
     ap.add_argument("--rows", type=int, default=200, help="synthetic source rows")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--batch-id", default="batch-0")
+    ap.add_argument(
+        "--batch-id",
+        default=None,
+        help="explicit id = replay-idempotent rewrite of that batch's "
+        "partition; default = fresh unique id per resume run",
+    )
     args = ap.parse_args()
 
     # Under spark-submit the session/master come from the launcher.
@@ -42,27 +47,43 @@ def main() -> None:
     src = code_files_df(spark, n_rows=args.rows, seed=args.seed)
     t0 = time.time()
     res = run_pipeline(spark, src, lineage_path=args.lineage)
-    # Resume runs write ONLY their own batch partition (dynamic
-    # partition overwrite keyed by batch_id) so earlier batches' triples
-    # survive; a fresh run (no lineage yet) statically overwrites the
-    # whole table. Replaying a failed batch rewrites the same partition
-    # — idempotent. An empty pending set skips the write entirely.
+    # One consistent batch_id=/pred= layout for fresh AND resume runs
+    # (mixing layouts in one dir breaks partition discovery). A fresh
+    # run statically overwrites the whole table; resume runs write ONLY
+    # their own batch partition (dynamic partition overwrite) so
+    # earlier batches' triples survive. Replaying a failed batch
+    # rewrites the same partition — idempotent. An empty pending set
+    # skips the write entirely.
     resuming = args.lineage is not None and os.path.exists(args.lineage)
+    batch_id = args.batch_id
+    if batch_id is None:
+        # unique-by-default: a resume delta must land in its OWN batch
+        # partition — reusing a previous id would dynamically overwrite
+        # that batch with only the delta (data loss). Explicit ids are
+        # for replaying the SAME batch (idempotent rewrite).
+        n_prev = (
+            len([d for d in os.listdir(args.output) if d.startswith("batch_id=")])
+            if resuming and os.path.isdir(args.output)
+            else 0
+        )
+        batch_id = f"batch-{n_prev}"
+    res.triples.persist()  # consumed by count + write + metrics
     n_triples = res.triples.count()
     if n_triples:
         write_triples(
-            res.triples, args.output, batch_id=args.batch_id if resuming else None
+            res.triples, args.output, batch_id=batch_id, full=not resuming
         )
     n_quarantined = res.quarantined.count()
     elapsed = time.time() - t0
     if args.lineage is not None:
-        record_done(res.metadata, args.lineage, "kg", args.batch_id)
+        record_done(res.metadata, args.lineage, "kg", batch_id)
         # per-partition counters next to the lineage table: skew in the
         # mention stage shows up as an outlier (partition_id, rows) row
         if n_triples:
             record_partition_metrics(
-                res.triples, args.lineage + "_pmetrics", "triples", args.batch_id
+                res.triples, args.lineage + "_pmetrics", "triples", batch_id
             )
+    res.triples.unpersist()
     print(
         json.dumps(
             {

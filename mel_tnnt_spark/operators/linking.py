@@ -135,9 +135,12 @@ def link_mentions(canon_mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     mention row; equivalence of the two plans is pinned by tests)."""
     from mel_tnnt_spark.config import LABEL_CLASSIFICATION
 
+    # memo key includes the alias plan's semantic hash — a second call
+    # with a DIFFERENT dictionary must build its own dim, not reuse the
+    # first one's (same-plan calls still hit the memo)
     dim = _memo(
         aliases.sparkSession,
-        "resolved_alias_dim",
+        f"resolved_alias_dim:{aliases.semanticHash()}",
         lambda: resolved_alias_dim(aliases, list(LABEL_CLASSIFICATION)),
     )
     joined = canon_mentions.join(
@@ -177,8 +180,12 @@ def lookup_with_fallback(
     coalesce primary-hit over fallback-hit. Both joins broadcast when
     the dim is small; `match_type` records which path resolved the row
     (NULL = miss on both)."""
+    # explicit hit markers, NOT payload nullness: a primary row whose
+    # payload happens to be NULL is still a primary hit and must return
+    # ITS (null) value, exactly like the reference's by-id lookup
     p1 = dim.select(
         F.col(primary_key),
+        F.lit(True).alias("_p_hit"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     p2 = dim.groupBy(fallback_key).agg(
@@ -186,16 +193,19 @@ def lookup_with_fallback(
             F.expr(f"min_by({c}, {primary_key})").alias(f"_f_{c}")
             for c in payload_cols
         ]
-    )
+    ).withColumn("_f_hit", F.lit(True))
     out = probe.join(F.broadcast(p1), primary_key, "left").join(
         F.broadcast(p2), fallback_key, "left"
     )
+    p_hit = F.col("_p_hit").isNotNull()
+    f_hit = F.col("_f_hit").isNotNull()
     resolved = [
-        F.coalesce(F.col(f"_p_{c}"), F.col(f"_f_{c}")).alias(c) for c in payload_cols
+        F.when(p_hit, F.col(f"_p_{c}")).when(f_hit, F.col(f"_f_{c}")).alias(c)
+        for c in payload_cols
     ]
     match_type = (
-        F.when(F.col(f"_p_{payload_cols[0]}").isNotNull(), "primary")
-        .when(F.col(f"_f_{payload_cols[0]}").isNotNull(), "fallback")
+        F.when(p_hit, "primary")
+        .when(f_hit, "fallback")
         .otherwise(F.lit(None).cast("string"))
         .alias("match_type")
     )

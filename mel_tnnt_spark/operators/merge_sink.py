@@ -53,6 +53,23 @@ def merge_upsert(
     if op_col not in changes.columns:
         changes = changes.withColumn(op_col, F.lit("upsert"))
 
+    # crash recovery: a failure between _promote's two renames leaves
+    # the live dir missing and the full copy under __old — restore it
+    # BEFORE reading, so the rerun merges against the real table
+    old = target_path + _OLD_SUFFIX
+    if not os.path.exists(target_path) and os.path.exists(old):
+        os.rename(old, target_path)
+
+    # Iceberg MERGE rejects a source row matching multiple times; the
+    # mirror condition here is multiple change rows for one key, which
+    # would otherwise leave duplicate keys in the keyed target
+    dup = changes.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge_upsert: multiple change rows for key {tuple(dup[0][k] for k in keys)}; "
+            "dedupe the batch to one operation per key first"
+        )
+
     upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
 
     if os.path.exists(target_path):

@@ -79,23 +79,40 @@ def build_triples(
 
 
 def write_triples(
-    triples: DataFrame, path: str, n_buckets: int = 32, batch_id: str | None = None
+    triples: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    batch_id: str | None = None,
+    full: bool = False,
 ) -> None:
     """Persist partitioned by pred, hash-distributed on subj.
 
-    Two modes:
-    - batch_id=None: fresh full run — static overwrite of the whole table.
-    - batch_id set:  incremental batch — rows land under a `batch_id=...`
-      partition with DYNAMIC partition overwrite, so replaying a failed
-      batch rewrites exactly its own partitions (idempotent) and never
-      touches earlier batches' output. This is the parquet stand-in for
-      an Iceberg `MERGE`/`replaceWhere` snapshot commit; on a real
-      cluster this is
+    Modes:
+    - batch_id=None: one-shot full run — static overwrite, `pred=`
+      layout only. For self-contained outputs (bench/scaling) that are
+      never appended to; NEVER mix with the batch layout in one dir.
+    - batch_id set, full=True: fresh run of a resumable table — static
+      overwrite of the WHOLE table, `batch_id=/pred=` layout, so later
+      incremental batches share one consistent partitioning.
+    - batch_id set, full=False: incremental batch — rows land under the
+      `batch_id=...` partition with DYNAMIC partition overwrite, so
+      replaying a failed batch rewrites exactly its own partitions
+      (idempotent) and never touches earlier batches' output. This is
+      the parquet stand-in for an Iceberg `MERGE`/`replaceWhere`
+      snapshot commit; on a real cluster this is
       `triples.writeTo("catalog.kg.triples").partitionedBy(bucket(256,'subj'),'pred')`.
     """
     out = triples.repartition(n_buckets, "subj")
     if batch_id is None:
         out.write.mode("overwrite").partitionBy("pred").parquet(path)
+        return
+    if full:
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "pred")
+            .parquet(path)
+        )
         return
     spark = triples.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

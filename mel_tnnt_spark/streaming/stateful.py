@@ -95,7 +95,9 @@ def sessionize(
         if cnt:
             if state.exists:
                 start, last, n = state.get
-                state.update((start, max(last, mx), n + cnt))
+                # out-of-order events above the watermark can precede
+                # the stored start; sessions extend in BOTH directions
+                state.update((min(start, mn), max(last, mx), n + cnt))
             else:
                 state.update((mn, mx, cnt))
             state.setTimeoutTimestamp(state.get[1] + gap_ms)

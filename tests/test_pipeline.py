@@ -248,6 +248,31 @@ def test_write_triples_batch_idempotent(spark, result):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_write_triples_full_then_incremental_layout(spark, result):
+    """The fresh-run (full=True) and resume (incremental) modes share
+    ONE batch_id=/pred= layout — the whole table stays readable after
+    mixing them (mixed pred=-only + batch_id= layouts break partition
+    discovery)."""
+    from mel_tnnt_spark.operators.triples import write_triples
+
+    tmp = tempfile.mkdtemp(prefix="triples_layout_")
+    try:
+        path = f"{tmp}/triples"
+        t = result.triples.cache()
+        n = t.count()
+        write_triples(t, path, n_buckets=4, batch_id="b0", full=True)
+        write_triples(t.limit(7), path, n_buckets=4, batch_id="b1")
+        got = spark.read.parquet(path)
+        assert got.count() == n + 7
+        assert got.where(F.col("batch_id") == "b0").count() == n
+        # a later FULL run resets the whole table (static overwrite)
+        write_triples(t.limit(3), path, n_buckets=4, batch_id="b0", full=True)
+        assert spark.read.parquet(path).count() == 3
+        t.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_linking_plans_equivalent(spark, result):
     """The zero-shuffle broadcast-dim linking must produce exactly the
     rows of the direct candidates->groupBy formulation."""

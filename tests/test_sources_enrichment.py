@@ -280,3 +280,55 @@ def test_merge_upsert_crash_replay(spark, tmp_path):
     assert _read_kv(spark, target) == {(1,): ("A2",)}
     assert not os.path.exists(staging)
     assert not os.path.exists(target + merge_sink._OLD_SUFFIX)
+
+
+def test_merge_upsert_crash_between_renames(spark, tmp_path):
+    """The worst crash window: live dir renamed to __old but staging
+    not yet promoted. A rerun must restore __old first and merge
+    against the REAL table — not treat the target as empty."""
+    import os
+
+    from mel_tnnt_spark.operators import merge_sink
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    target = str(tmp_path / "tbl3")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_upsert(spark, target, base, keys=("k",))
+
+    # simulate the mid-promote crash: live -> __old done, promote not
+    os.rename(target, target + merge_sink._OLD_SUFFIX)
+    assert not os.path.exists(target)
+
+    changes = spark.createDataFrame([(2, "B2", "upsert")], "k int, v string, op string")
+    merge_upsert(spark, target, changes, keys=("k",))
+    # row 1 (untouched by the change batch) must survive the recovery
+    assert _read_kv(spark, target) == {(1,): ("a",), (2,): ("B2",)}
+    assert not os.path.exists(target + merge_sink._OLD_SUFFIX)
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    target = str(tmp_path / "tbl4")
+    changes = spark.createDataFrame(
+        [(1, "x", "upsert"), (1, "y", "upsert")], "k int, v string, op string"
+    )
+    with _pytest.raises(ValueError, match="multiple change rows"):
+        merge_upsert(spark, target, changes, keys=("k",))
+
+
+def test_lookup_with_fallback_null_payload_primary_hit(spark):
+    """A primary-key hit whose payload is NULL is still a primary hit
+    and returns ITS null value — not the fallback row's value."""
+    from mel_tnnt_spark.operators.linking import lookup_with_fallback
+
+    dim = spark.createDataFrame(
+        [(5, "en", None), (6, "en", "x")], "k_id int, k_name string, src string"
+    )
+    probe = spark.createDataFrame([(5, "en"), (99, "en")], "k_id int, k_name string")
+    got = {r["k_id"]: (r["src"], r["match_type"]) for r in
+           lookup_with_fallback(probe, dim, "k_id", "k_name", ["src"]).collect()}
+    assert got[5] == (None, "primary")    # not ('x', 'fallback')
+    assert got[99] == (None, "fallback")  # miss by id -> min_by(k_id=5) row, src NULL

@@ -159,3 +159,38 @@ def test_sessionize_event_time_timeout(spark, tmpdirs):
     q.awaitTermination(180)
     got = {(r["user_id"]): (r["session_start"], r["session_end"], r["n_events"]) for r in rows}
     assert got == {1: (t(10, 0), t(10, 5), 2)}  # user 2 still open -> absent
+
+
+def test_sessionize_out_of_order_extends_start(spark, tmpdirs):
+    """A late event (above the watermark) older than the stored session
+    start must pull session_start backward — streaming and the batch
+    gaps-and-islands oracle (q46) agree."""
+    from mel_tnnt_spark.streaming.stateful import sessionize
+
+    import datetime as dt
+
+    src = f"{tmpdirs}/ev2"
+    schema = "user_id long, ts timestamp"
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, t(10, 10))])                  # batch 1: session opens at 10:10
+    write([(1, t(10, 2))])                   # batch 2: LATE event (wm 10:00) extends start back
+    write([(2, t(12, 0))])                   # batch 3: wm 9:52
+    write([(2, t(12, 5))])                   # batch 4: wm 11:50 closes user 1
+
+    rows = []
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt_ooo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["user_id"]: (r["session_start"], r["session_end"], r["n_events"]) for r in rows}
+    assert got == {1: (t(10, 2), t(10, 10), 2)}
