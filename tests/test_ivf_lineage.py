@@ -61,3 +61,25 @@ def test_partition_metrics_totals_and_skew(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.agg(F.sum("rows")).first()[0] == 400
     assert {r["stage"] for r in back.select("stage").distinct().collect()} == {"mentions"}
+
+
+def test_runtime_regression_tracker(tmp_path):
+    """F18 — per-round runtime comparison flags slowdowns beyond the
+    noise threshold, in both time (higher=worse) and throughput
+    (lower=worse) rows."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from regression import load_history, regressions
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"queries": {"q01": 1.0, "q02": 2.0}, "kg": {"triples_per_sec": 1000}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"queries": {"q01": 1.2, "q02": 4.0}, "kg": {"triples_per_sec": 400}}))
+    hist = load_history(tmp_path)
+    assert [t for t, _ in hist] == ["r01", "r02"]
+    flagged = {q: ratio for q, _, _, _, _, ratio in regressions(hist, 1.5)}
+    assert "q01" not in flagged            # 1.2x is inside noise
+    assert abs(flagged["q02"] - 2.0) < 1e-9
+    assert abs(flagged["_kg_triples_per_sec"] - 2.5) < 1e-9
