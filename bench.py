@@ -36,6 +36,8 @@ HEADLINE = [
     "q28_cc_embedding_graph",
     "q35_dd_lsh_pairs",
     "q36_j6_large_vocab_containment",
+    "q45_sim_ivf_ann",
+    "q47_w_analytic_running_revenue",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
