@@ -32,7 +32,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_once(cores: int, rows: int) -> tuple[float, int]:
+def run_once(cores: int, rows: int, extra: list[str] | None = None) -> tuple[float, int]:
     from mel_tnnt_spark.session import get_spark
     from mel_tnnt_spark.datagen import code_files_distributed
     from mel_tnnt_spark.operators.triples import write_triples
@@ -51,6 +51,7 @@ def run_once(cores: int, rows: int) -> tuple[float, int]:
             "spark.driver.memory": "24g",
             "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            **dict(kv.split("=", 1) for kv in (extra or [])),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,10 +76,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="small parallelism; large = 4n")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--single", type=int, default=0, help="internal: one measurement")
+    ap.add_argument("--extra-conf", action="append", default=[], help="k=v spark conf (repeatable)")
     args = ap.parse_args()
 
     if args.single:
-        dt, n = run_once(args.single, args.rows)
+        dt, n = run_once(args.single, args.rows, args.extra_conf)
         print(json.dumps({"dt": dt, "n": n}))
         return
 
@@ -88,7 +90,8 @@ def main() -> None:
     for _ in range(args.trials):
         for cores in levels:
             out = subprocess.run(
-                [sys.executable, __file__, "--single", str(cores), "--rows", str(args.rows)],
+                [sys.executable, __file__, "--single", str(cores), "--rows", str(args.rows)]
+                + [f"--extra-conf={kv}" for kv in args.extra_conf],
                 capture_output=True,
                 text=True,
                 cwd=str(REPO),
