@@ -18,8 +18,10 @@ Scale notes: one archive = one unit of work; a giant archive is a
 straggler exactly like a giant document, and the same mitigation
 applies (repartition by key first so archives spread across tasks; the
 per-member output is exploded immediately so downstream stages
-repartition freely). Memory is bounded by one archive at a time per
-task — members stream out per input row, not per batch.
+repartition freely). Task memory is bounded by a byte-threshold flush:
+member rows stream out whenever the buffer exceeds it, so a giant
+archive flushes alone while small pass-through rows batch together
+(per-row emission would pay one Arrow batch per document).
 """
 
 from __future__ import annotations
@@ -101,20 +103,33 @@ def explode_archive_members(
     payloads). Only (id, payload) cross the Arrow boundary."""
     narrow = df.select(id_col, payload_col)
 
+    cols = [f.name for f in MEMBER_SCHEMA.fields]
+    # flush threshold bounds task memory to ~one batch of member bytes;
+    # a giant archive still flushes alone rather than queueing behind
+    # pass-through rows
+    flush_bytes = 64 << 20
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows: list[dict] = []
+            pending = 0
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else None
-                rows = [
-                    {
-                        "doc_id": doc_id,
-                        "container": kind,
-                        "member_index": idx,
-                        "member_path": path,
-                        "member_content": content,
-                    }
-                    for kind, idx, path, content in py_explode_members(raw)
-                ]
-                yield pd.DataFrame(rows, columns=[f.name for f in MEMBER_SCHEMA.fields])
+                for kind, idx, path, content in py_explode_members(raw):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "container": kind,
+                            "member_index": idx,
+                            "member_path": path,
+                            "member_content": content,
+                        }
+                    )
+                    pending += len(content) if content else 0
+                if pending >= flush_bytes:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows, pending = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return narrow.mapInPandas(run, MEMBER_SCHEMA)

@@ -86,9 +86,10 @@ def sessionize(
         mn = mx = None
         cnt = 0
         for pdf in pdfs:
-            if len(pdf):
-                cnt += len(pdf)
-                ms = pdf["ts"].astype("int64") // 1_000_000
+            ts = pdf["ts"].dropna()  # NaT would wrap to min-int64
+            if len(ts):
+                cnt += len(ts)
+                ms = ts.astype("int64") // 1_000_000
                 bmn, bmx = int(ms.min()), int(ms.max())
                 mn = bmn if mn is None else min(mn, bmn)
                 mx = bmx if mx is None else max(mx, bmx)
