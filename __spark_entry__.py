@@ -883,7 +883,10 @@ def q28(spark, sf_dir):
 @_q(
     "q31_p9_json_path",
     """
-    SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k, count(*) AS n
+    SELECT event_type,
+           sum(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k')::BIGINT END)::BIGINT AS sum_k,
+           count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
@@ -1032,14 +1035,19 @@ def q41(spark, sf_dir):
 @_q(
     "q42_p10_recursive_key_search",
     """
-    WITH j AS (
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS kv
+      FROM events),
+    j AS (
       SELECT event_type,
              CASE event_type
-               WHEN 'click' THEN '{"k":' || json_extract_string(props, '$.k') || '}'
-               WHEN 'view'  THEN '{"a":{"k":' || json_extract_string(props, '$.k') || '}}'
-               ELSE '{"a":{"b":[{"k":' || json_extract_string(props, '$.k') || '}]}}'
+               WHEN 'click' THEN '{"k":' || kv || '}'
+               WHEN 'view'  THEN '{"a":{"k":' || kv || '}}'
+               ELSE '{"a":{"b":[{"k":' || kv || '}]}}'
              END AS payload
-      FROM events
+      FROM e
     )
     SELECT event_type,
            sum(coalesce(json_extract_string(payload, '$.k'),
@@ -1076,12 +1084,17 @@ def q42(spark, sf_dir):
 @_q(
     "q43_f15_deep_merge",
     """
-    WITH m AS (
+    WITH e AS (
       SELECT event_type,
-             json_merge_patch(props,
-                 '{"extra":{"m":7},"k":' || (json_extract_string(props, '$.k')::BIGINT + 1) || '}'
-             ) AS merged
-      FROM events
+             CASE WHEN json_valid(props) THEN props ELSE '{}' END AS p,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k')::BIGINT END AS kv
+      FROM events),
+    m AS (
+      SELECT event_type,
+             json_merge_patch(p,
+                 coalesce('{"extra":{"m":7},"k":' || (kv + 1) || '}', '{}')) AS merged
+      FROM e
     )
     SELECT event_type,
            sum(json_extract_string(merged, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -1,0 +1,135 @@
+"""Randomized-corpus oracle fuzz: every documents/events query must
+agree with its DuckDB oracle on ADVERSARIAL data, not just the driver's
+well-behaved testdata — empty/whitespace/unicode/regex-metachar text,
+duplicate texts, malformed and empty JSON props, zero-variance groups.
+
+Queries over the TPC-H tables are excluded (their generator is the
+driver's); embeddings queries are covered by their own recall tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+EDGE_TEXTS = [
+    "",
+    "   ",
+    "the the the the",
+    "spark query spark join filter window data table",
+    "a.b*c(d)e[f]g\\h|i+j?k",          # regex metacharacters
+    "naïve café über señor — em-dash",   # accents / unicode punct
+    "x" * 5000,                          # one giant token
+    "word " * 400,                       # long repetitive doc
+    "The quick brown fox. She ran! Did it? Yes.",
+    "el gato y el perro de la casa que los vio",
+    "der und die das ist der und die",
+    "le la et les des le la et",
+    "tab\tnewline\nquote\"backslash\\",
+    "spark some filler words join",      # q33's regex shape
+    "mixed EN el the la und 42 7.5",
+]
+
+EDGE_PROPS = ['{"k": 0}', '{"k": 87}', '{"k": -3}', "{}", "not json", None, '{"k": 1, "z": {"k": 2}}']
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    import random
+
+    base = tmp_path_factory.mktemp("fuzz")
+    rng = random.Random(1234)
+    docs = []
+    for i in range(600):
+        t = rng.choice(EDGE_TEXTS) if rng.random() < 0.5 else (
+            " ".join(rng.choices("spark query the a el la und data join of to in".split(), k=rng.randint(1, 30)))
+        )
+        docs.append((i, t, rng.choice(["en", "es", "de", "fr", "und"]),
+                     rng.choice(["web", "wiki", "code"]), len(t)))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    evs = []
+    for i in range(800):
+        evs.append((i, f"2026-01-01 00:{i % 60:02d}:{(i * 7) % 60:02d}",
+                    i % 23, rng.choice(["click", "view", "error", "signup", "purchase"]),
+                    float(rng.randint(0, 100)), rng.choice(EDGE_PROPS)))
+    from pyspark.sql import functions as F
+
+    (
+        spark.createDataFrame(
+            evs, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(f"{base}/events.parquet")
+    )
+    return str(base)
+
+
+# documents/events-backed queries; value = skip reason if excluded
+FUZZ_QUERIES = [
+    "q10_a2_keyword_counts",
+    "q11_a3_pattern_match_counts",
+    "q12_j6_containment_mentions",
+    "q15_w2_pagination",
+    "q16_w4_topk_docs",
+    "q17_dd_exact_dedup",
+    "q18_dd_ngram_jaccard_pairs",
+    "q19_dd_minhash_signatures",
+    "q20_dd_simhash",
+    "q23_ts_lang_id",
+    "q24_ts_quality_score",
+    "q25_ts_fingerprint",
+    "q26_ts_token_count",
+    "q31_p9_json_path",
+    "q32_f16_wildcard_search",
+    "q33_s4_regex_scan",
+    "q34_m15_deterministic_sample",
+    "q36_j6_large_vocab_containment",
+    "q37_j2_lookup_with_fallback",
+    "q40_j10_group_by_folder",
+    "q41_s13_xml_metadata",
+    "q42_p10_recursive_key_search",
+    "q43_f15_deep_merge",
+    "q46_w_session_windows",
+    "q05_a13_time_span_per_type",
+    "q04_w3_latest_event_per_user",
+]
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_query_oracle_parity(spark, fuzz_dir, name):
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet/*.parquet'")
+    got = _normalize(e.queries()[name](spark, fuzz_dir).toPandas())
+    want = _normalize(con.sql(e.oracle_sql()[name]).df())
+    assert got[0] == want[0], f"{name} columns: {got[0]} vs {want[0]}"
+    assert got[1] == want[1], (
+        f"{name}: {len(got[1])} vs {len(want[1])} rows; "
+        f"first diff: {next(((a, b) for a, b in zip(got[1], want[1]) if a != b), None)}"
+    )
