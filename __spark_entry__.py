@@ -690,9 +690,13 @@ def q35(spark, sf_dir):
     "q21_sim_cosine_topk",
     """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+    SELECT vec_id,
+           CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+                 AND list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)) > 0
+                THEN round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6)
+           END AS cosine
     FROM embeddings
-    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 10
     """,
 )
 def q21(spark, sf_dir):
@@ -717,9 +721,13 @@ def q21(spark, sf_dir):
     qsig AS (
       SELECT (list_dot_product((SELECT v FROM q), (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
              (list_dot_product((SELECT v FROM q), (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS b)
-    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    SELECT vec_id,
+           CASE WHEN list_dot_product(v, v) > 0
+                 AND list_dot_product((SELECT v FROM q), (SELECT v FROM q)) > 0
+                THEN round(list_cosine_similarity(v, (SELECT v FROM q)), 6)
+           END AS cosine
     FROM sig WHERE bucket = (SELECT b FROM qsig)
-    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 5
     """,
 )
 def q22(spark, sf_dir):
@@ -1141,11 +1149,15 @@ def q43(spark, sf_dir):
     qsig AS (
       SELECT (list_dot_product((SELECT v FROM q), (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
              (list_dot_product((SELECT v FROM q), (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS b)
-    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    SELECT vec_id,
+           CASE WHEN list_dot_product(v, v) > 0
+                 AND list_dot_product((SELECT v FROM q), (SELECT v FROM q)) > 0
+                THEN round(list_cosine_similarity(v, (SELECT v FROM q)), 6)
+           END AS cosine
     FROM sig
     WHERE (CASE WHEN substr(bucket,1,1) != substr((SELECT b FROM qsig),1,1) THEN 1 ELSE 0 END +
            CASE WHEN substr(bucket,2,1) != substr((SELECT b FROM qsig),2,1) THEN 1 ELSE 0 END) <= 1
-    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 5
     """,
 )
 def q44(spark, sf_dir):
@@ -1178,9 +1190,13 @@ def q44(spark, sf_dir):
     assigned AS (SELECT vec_id, v, cidx FROM assign WHERE rn = 1),
     probe AS (SELECT cidx FROM c
               ORDER BY list_distance((SELECT v FROM q), cv), cidx LIMIT 2)
-    SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine
+    SELECT vec_id,
+           CASE WHEN list_dot_product(v, v) > 0
+                 AND list_dot_product((SELECT v FROM q), (SELECT v FROM q)) > 0
+                THEN round(list_cosine_similarity(v, (SELECT v FROM q)), 6)
+           END AS cosine
     FROM assigned WHERE cidx IN (SELECT cidx FROM probe)
-    ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 5
     """,
 )
 def q45(spark, sf_dir):

@@ -272,9 +272,13 @@ def embedding_near_dup_pairs(
         joined = blocked.alias("a").join(blocked.alias("b"), ["band", "bucket"])
     else:
         joined = v.alias("a").crossJoin(v.alias("b"))
+    # zero-norm guard: a single all-zero embedding would otherwise throw
+    # divideByZeroError under ANSI mode and kill the whole job; NULL
+    # cosine fails the threshold and the pair simply drops out
+    denom = nrm("a") * nrm("b")
     return (
         joined.where(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", F.round(dot / (nrm("a") * nrm("b")), 6))
+        .withColumn("cosine", F.when(denom > 0, F.round(dot / denom, 6)))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .distinct()

@@ -28,6 +28,16 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"))
 
 
+def _safe_cosine(v: str, q: str, qn: F.Column | None = None) -> F.Column:
+    """cosine(v, q) with the zero-norm contract: NULL when either norm
+    is 0 — under ANSI mode a bare division throws divideByZeroError, so
+    ONE zero embedding would otherwise kill a whole-corpus job (found
+    by the adversarial-corpus fuzz). NULLs sort last in the top-k."""
+    qn = _norm(q) if qn is None else qn
+    denom = _norm(v) * qn
+    return F.when(denom > 0, F.round(_dot(v, q) / denom, 6))
+
+
 def with_query(emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float]) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return emb.select(
@@ -44,9 +54,9 @@ def cosine_topk(
     merge), no full sort, no full shuffle."""
     scored = with_query(emb, id_col, vec_col, query_vec).select(
         F.col("id").alias(id_col),
-        F.round(_dot("v", "q") / (_norm("v") * _norm("q")), 6).alias("cosine"),
+        _safe_cosine("v", "q").alias("cosine"),
     )
-    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    return scored.orderBy(F.desc_nulls_last("cosine"), F.asc(id_col)).limit(k)
 
 
 def pivot_signature(emb: DataFrame, id_col: str, vec_col: str, pivots: list[list[float]]) -> DataFrame:
@@ -82,9 +92,9 @@ def bucketed_ann(
     qn = math.sqrt(sum(x * x for x in query_vec))
     scored = bucketed.withColumn("q", q).select(
         F.col("id").alias(id_col),
-        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+        _safe_cosine("v", "q", F.lit(qn)).alias("cosine"),
     )
-    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    return scored.orderBy(F.desc_nulls_last("cosine"), F.asc(id_col)).limit(k)
 
 
 def _lit_vec(p: list[float]) -> str:
@@ -199,9 +209,9 @@ def ivf_ann(
     qn = math.sqrt(sum(x * x for x in query_vec))
     scored = assigned.withColumn("q", q).select(
         F.col("id").alias(id_col),
-        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+        _safe_cosine("v", "q", F.lit(qn)).alias("cosine"),
     )
-    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    return scored.orderBy(F.desc_nulls_last("cosine"), F.asc(id_col)).limit(k)
 
 
 def query_signature(query_vec: list[float], pivots: list[list[float]]) -> str:
@@ -255,6 +265,6 @@ def bucketed_ann_multiprobe(
     qn = math.sqrt(sum(x * x for x in query_vec))
     scored = bucketed.withColumn("q", q).select(
         F.col("id").alias(id_col),
-        F.round(_dot("v", "q") / (_norm("v") * F.lit(qn)), 6).alias("cosine"),
+        _safe_cosine("v", "q", F.lit(qn)).alias("cosine"),
     )
-    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    return scored.orderBy(F.desc_nulls_last("cosine"), F.asc(id_col)).limit(k)

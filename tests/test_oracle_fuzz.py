@@ -68,6 +68,24 @@ def fuzz_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(f"{base}/events.parquet")
     )
+
+    # embeddings: ids 0-7 regular (gates use 0-3 as pivots/centroids and
+    # 7 as the query), then hazards — a zero vector, duplicates, tiny
+    # magnitudes
+    vecs = []
+    for i in range(120):
+        if i >= 100 and i % 3 == 0:
+            v = [0.0] * 8  # zero-norm
+        elif i >= 100 and i % 3 == 1:
+            v = [x * 1e-30 for x in range(1, 9)]  # denormal-ish
+        elif i >= 100:
+            v = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]  # exact dup family
+        else:
+            v = [round(rng.uniform(-1, 1), 6) for _ in range(8)]
+        vecs.append((i, v))
+    spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/embeddings.parquet")
     return str(base)
 
 
@@ -99,6 +117,11 @@ FUZZ_QUERIES = [
     "q46_w_session_windows",
     "q05_a13_time_span_per_type",
     "q04_w3_latest_event_per_user",
+    "q21_sim_cosine_topk",
+    "q22_sim_bucketed_ann",
+    "q44_sim_multiprobe_ann",
+    "q45_sim_ivf_ann",
+    "q28_cc_embedding_graph",
 ]
 
 
@@ -123,7 +146,7 @@ def test_fuzz_query_oracle_parity(spark, fuzz_dir, name):
     import __spark_entry__ as e
 
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet/*.parquet'")
     got = _normalize(e.queries()[name](spark, fuzz_dir).toPandas())
