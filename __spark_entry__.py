@@ -1255,12 +1255,13 @@ def q46(spark, sf_dir):
     "q47_w_analytic_running_revenue",
     """
     WITH r AS (
-      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      SELECT o_custkey, o_orderkey, o_orderdate,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rk,
-             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                           ORDER BY o_orderdate, o_orderkey
-                                           ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+             CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
       FROM orders)
     SELECT o_custkey, o_orderkey, rk, running_revenue
     FROM r WHERE rk <= 3
@@ -1270,7 +1271,11 @@ def q47(spark, sf_dir):
     """Analytic window functions (running aggregates + top-N-per-key):
     one hash-partitioned sort per customer, no self-join — the plan a
     100-TB per-key history scan wants. Ties broken by o_orderkey so
-    both engines rank identically."""
+    both engines rank identically. Money sums run in DECIMAL(18,2) on
+    BOTH sides: round(sum(double)) at half-cent boundaries is
+    representation-dependent and diverges across engines (found by the
+    adversarial fuzz); exact decimal arithmetic is the portable
+    contract, cast back to double only for rendering."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1280,9 +1285,10 @@ def q47(spark, sf_dir):
             "o_custkey",
             "o_orderkey",
             F.row_number().over(w).alias("rk"),
-            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
-                "running_revenue"
-            ),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_revenue"),
         )
         .where(F.col("rk") <= 3)
     )

@@ -1,10 +1,18 @@
-"""Randomized-corpus oracle fuzz: every documents/events query must
-agree with its DuckDB oracle on ADVERSARIAL data, not just the driver's
-well-behaved testdata — empty/whitespace/unicode/regex-metachar text,
-duplicate texts, malformed and empty JSON props, zero-variance groups.
+"""Randomized-corpus oracle fuzz: ALL 45 query/oracle pairs must
+agree on ADVERSARIAL data, not just the driver's well-behaved testdata:
 
-Queries over the TPC-H tables are excluded (their generator is the
-driver's); embeddings queries are covered by their own recall tests.
+- documents: empty/whitespace/unicode/regex-metachar text, giant
+  tokens, duplicate docs, zero-variance groups
+- events: malformed / empty / null JSON props
+- embeddings: zero-norm vectors, denormals, exact duplicates
+- TPC-H-ish: half-cent prices (round-half hazards), duplicate order
+  keys, a mktsegment with no orders, customers without 'F' orders,
+  orderdate ties within a customer
+
+Found (and fixed): ANSI divideByZeroError on zero-norm cosine in every
+similarity path; DuckDB json_extract_string throwing on malformed JSON;
+cross-engine round(sum(double)) divergence at half-cent boundaries
+(q47 now sums DECIMAL).
 """
 
 from __future__ import annotations
@@ -86,6 +94,59 @@ def fuzz_dir(spark, tmp_path_factory):
     spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>").coalesce(2).write.mode(
         "overwrite"
     ).parquet(f"{base}/embeddings.parquet")
+
+    # TPC-H-ish tables with rounding/tie/empty-group hazards:
+    # half-cent prices (round-half ties), duplicated orderkeys, a
+    # mktsegment with no orders, customers without any 'F' order,
+    # equal orderdates within a customer (rank tie-break), zero
+    # quantities/discounts
+    nations = [(i, f"NATION_{i:02d}") for i in range(7)]
+    spark.createDataFrame(nations, "n_nationkey bigint, n_name string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/nation.parquet")
+
+    custs = [(i, f"Customer#{i:05d}", rng.choice(["AUTOMOBILE", "BUILDING", "MACHINERY", "GHOST"]),
+              i % 7) for i in range(80)]
+    spark.createDataFrame(
+        custs, "c_custkey bigint, c_name string, c_mktsegment string, c_nationkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/customer.parquet")
+
+    orders = []
+    for i in range(300):
+        cust = rng.randint(0, 59)  # custkeys 60-79 never order
+        price = rng.choice([0.0, 0.005, 1.005, 2.675, 99.995, float(rng.randint(1, 9000))])
+        orders.append((i, cust, rng.choice(["F", "O", "P"]), price,
+                       f"1995-0{rng.randint(1, 9)}-0{rng.randint(1, 9)}"))
+    from pyspark.sql import functions as F2
+
+    (
+        spark.createDataFrame(
+            orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate string"
+        )
+        .withColumn("o_orderdate", F2.col("o_orderdate").cast("date"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/orders.parquet")
+    )
+
+    lines = []
+    for i in range(900):
+        lines.append((rng.randint(0, 299), rng.choice([0.0, 0.5, 1.0, 7.0, 49.5]),
+                      rng.choice([0.005, 1.115, 950.0, 0.0]),
+                      rng.choice([0.0, 0.05, 0.1]),
+                      rng.choice(["A", "N", "R"]), rng.choice(["F", "O"]),
+                      f"1995-0{rng.randint(1, 9)}-1{rng.randint(0, 9)} 00:00:00"))
+    (
+        spark.createDataFrame(
+            lines,
+            "l_orderkey bigint, l_quantity double, l_extendedprice double, l_discount double, "
+            "l_returnflag string, l_linestatus string, l_shipdate string",
+        )
+        .withColumn("l_shipdate", F2.col("l_shipdate").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/lineitem.parquet")
+    )
     return str(base)
 
 
@@ -122,6 +183,20 @@ FUZZ_QUERIES = [
     "q44_sim_multiprobe_ann",
     "q45_sim_ivf_ann",
     "q28_cc_embedding_graph",
+    "q08_so2_shared_vocabulary",
+    "q13_a8_stats_per_lang",
+    "q14_a5_rollup_lang_source",
+    "q38_a8_multimode_chars_per_lang",
+    "q39_p2_only_startfrom",
+    "q01_a1_pricing_summary",
+    "q02_j1_broadcast_join_agg",
+    "q03_j1_multijoin_revenue_by_nation",
+    "q07_j5_customers_without_orders",
+    "q09_j4_duplicate_orderkeys",
+    "q30_a8_mode_quantity_per_flag",
+    "q47_w_analytic_running_revenue",
+    "q06_a9_value_buckets",
+    "q35_dd_lsh_pairs",
 ]
 
 
@@ -146,7 +221,7 @@ def test_fuzz_query_oracle_parity(spark, fuzz_dir, name):
     import __spark_entry__ as e
 
     con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
+    for t in ("documents", "events", "embeddings", "nation", "customer", "orders", "lineitem"):
         # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet/*.parquet'")
     got = _normalize(e.queries()[name](spark, fuzz_dir).toPandas())
