@@ -1294,6 +1294,37 @@ def q47(spark, sf_dir):
     )
 
 
+@_q(
+    "q48_asof_join_last_purchase",
+    """
+    WITH state AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    probe AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, s.value AS asof_value
+    FROM probe p ASOF LEFT JOIN state s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q48(spark, sf_dir):
+    """As-of join (custom operator Spark lacks): each click gets the
+    user's most recent purchase value at-or-before it. Spark side is
+    the union+window formulation (operators/asof.py — one shuffle, no
+    join explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so
+    the semantics (inclusive <=, latest state, NULL when none) are
+    pinned against an independent implementation."""
+    from mel_tnnt_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    state = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        probe, state, key="user_id", ts="ts", payload_cols=["value"], seq_col="event_id"
+    ).select("event_id", "user_id", F.col("asof_value"))
+
+
 # ---------------------------------------------------------------------------
 
 

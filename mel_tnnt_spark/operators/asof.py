@@ -1,0 +1,72 @@
+"""As-of join: attach to each probe row the most recent state row with
+state.ts <= probe.ts for the same key.
+
+Spark has no ASOF JOIN operator (task-brief custom-operator family —
+as-of / range joins). The naive formulation (theta-join on key and
+ts-inequality, then max_by) degenerates to a per-key cartesian. The
+scale-safe formulation used here is the union trick:
+
+  1. tag state rows 0, probe rows 1;
+  2. union on (key, ts, tag);
+  3. ONE window per key ordered by (ts, tag, seq): last non-null state
+     payload over rows-unbounded-preceding (ignoreNulls) carries the
+     current state forward;
+  4. keep probe rows.
+
+Cost: one shuffle + one sort of |probe| + |state| rows — the same cost
+profile as a windowed aggregate, no join explosion, AQE-skew-friendly.
+Tag order (state before probe at equal ts) gives the inclusive <=
+semantics of DuckDB's ASOF JOIN; state rows are pre-deduped to one per
+(key, ts) by max seq so equal-timestamp ties are deterministic on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: probe columns + `asof_<payload>` columns from
+    the latest state row at-or-before the probe's ts (NULL if none).
+    `seq_col` (e.g. an event id) breaks equal-ts ties deterministically:
+    the HIGHEST seq wins, mirroring arg_max in the oracle."""
+    if seq_col is not None:
+        state = state.groupBy(key, ts).agg(
+            *[F.expr(f"max_by({c}, {seq_col})").alias(c) for c in payload_cols]
+        )
+    s = state.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+    )
+    p = probe.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(state.schema[c].dataType).alias(f"_s_{c}") for c in payload_cols],
+        F.struct(*probe.columns).alias("_row"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = s.withColumn("_row", F.lit(None).cast(p.schema["_row"].dataType)).unionByName(p).select(
+        "_tag",
+        "_row",
+        *[
+            F.last(f"_s_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out_cols = [F.col("_row")[c].alias(c) for c in probe.columns]
+    return carried.where(F.col("_tag") == 1).select(
+        *out_cols, *[f"asof_{c}" for c in payload_cols]
+    )

@@ -83,3 +83,35 @@ def test_runtime_regression_tracker(tmp_path):
     assert "q01" not in flagged            # 1.2x is inside noise
     assert abs(flagged["q02"] - 2.0) < 1e-9
     assert abs(flagged["_kg_triples_per_sec"] - 2.5) < 1e-9
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """As-of join: inclusive <=, latest-state-wins, NULL-before-first;
+    plan has no cartesian and no row UDFs (union+window formulation)."""
+    from mel_tnnt_spark.operators.asof import asof_join
+    from mel_tnnt_spark.plans.analyze import plan_flags
+
+    state = spark.createDataFrame(
+        [(1, 10, "a", 100), (1, 20, "b", 101), (1, 20, "B", 102), (2, 5, "z", 103)],
+        "k int, t int, v string, seq int",
+    )
+    probe = spark.createDataFrame(
+        [(1, 9), (1, 10), (1, 15), (1, 20), (1, 99), (2, 4), (3, 7)], "k int, t int"
+    )
+    got = {
+        (r["k"], r["t"]): r["asof_v"]
+        for r in asof_join(probe, state, "k", "t", ["v"], seq_col="seq").collect()
+    }
+    assert got == {
+        (1, 9): None,     # before first state
+        (1, 10): "a",     # inclusive <=
+        (1, 15): "a",
+        (1, 20): "B",     # equal-ts tie -> highest seq wins
+        (1, 99): "B",
+        (2, 4): None,
+        (3, 7): None,     # key with no state at all
+    }
+    df = asof_join(probe, state, "k", "t", ["v"], seq_col="seq")
+    df.collect()
+    flags = plan_flags(df)
+    assert flags["cartesian"] == 0 and flags["row_udfs"] == 0

@@ -197,6 +197,7 @@ FUZZ_QUERIES = [
     "q47_w_analytic_running_revenue",
     "q06_a9_value_buckets",
     "q35_dd_lsh_pairs",
+    "q48_asof_join_last_purchase",
 ]
 
 
