@@ -1325,6 +1325,43 @@ def q48(spark, sf_dir):
     ).select("event_id", "user_id", F.col("asof_value"))
 
 
+@_q(
+    "q49_range_join_clicks_in_window",
+    """
+    WITH iv AS (
+      SELECT event_id AS purchase_id, user_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'purchase'),
+    probe AS (SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+    SELECT p.click_id, p.user_id, iv.purchase_id
+    FROM probe p JOIN iv
+      ON p.user_id = iv.user_id AND p.ts >= iv.w_start AND p.ts <= iv.w_end
+    """,
+)
+def q49(spark, sf_dir):
+    """Range join (custom operator Spark lacks): clicks landing inside
+    the 10-minute window after each purchase by the same user. Spark
+    side is the bucketized equi-join (operators/asof.py range_join —
+    bounded fan-out, no per-key nested loop); the oracle is the plain
+    inequality join, which DuckDB plans as its native IEJoin."""
+    from mel_tnnt_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    return range_join(probe, iv, key="user_id", ts="ts", start="w_start", end="w_end").select(
+        "click_id", "user_id", "purchase_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -70,3 +70,43 @@ def asof_join(
     return carried.where(F.col("_tag") == 1).select(
         *out_cols, *[f"asof_{c}" for c in payload_cols]
     )
+
+
+def range_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_secs: int = 600,
+) -> DataFrame:
+    """Range join: probe rows matched to every interval of the same key
+    with start <= ts <= end (inclusive both ends).
+
+    The naive theta-join (key equality + two inequalities) makes
+    Catalyst fall back to a per-key nested loop — quadratic on hot
+    keys. Scale-safe formulation: quantize time into fixed buckets,
+    explode each interval to the buckets it spans, bucket the probe
+    ts, EQUI-join on (key, bucket), then apply the exact range filter.
+    Join fan-out is bounded by interval_span/bucket_secs; each
+    (probe, interval) pair meets in exactly one bucket (the probe's),
+    so no dedup pass is needed. Pick bucket_secs near the typical
+    interval length: too small explodes the interval side, too large
+    degrades toward the cartesian per bucket."""
+    p = probe.withColumn("_bkt", (F.unix_timestamp(ts) / bucket_secs).cast("long"))
+    iv = (
+        intervals.where(F.col(start) <= F.col(end))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(start) / bucket_secs).cast("long"),
+                    (F.unix_timestamp(end) / bucket_secs).cast("long"),
+                )
+            ),
+        )
+    )
+    return p.join(iv, [key, "_bkt"]).where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    ).drop("_bkt")

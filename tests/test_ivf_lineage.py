@@ -115,3 +115,35 @@ def test_asof_join_semantics_and_plan(spark):
     df.collect()
     flags = plan_flags(df)
     assert flags["cartesian"] == 0 and flags["row_udfs"] == 0
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Range join: inclusive bounds, overlapping intervals all match,
+    no duplicate (probe, interval) pairs across buckets, plan has no
+    cartesian/nested-loop."""
+    import datetime as dt
+
+    from mel_tnnt_spark.operators.asof import range_join
+    from mel_tnnt_spark.plans.analyze import plan_flags
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    iv = spark.createDataFrame(
+        [("A", 1, ts(0), ts(30)), ("A", 2, ts(20), ts(40)), ("B", 3, ts(0), ts(5))],
+        "k string, iv_id int, s timestamp, e timestamp",
+    )
+    probe = spark.createDataFrame(
+        [("A", 10, ts(0)), ("A", 11, ts(25)), ("A", 12, ts(30)), ("A", 13, ts(41)), ("B", 14, ts(6))],
+        "k string, p_id int, t timestamp",
+    )
+    # bucket smaller than the interval span -> intervals explode to
+    # multiple buckets; each pair must still appear exactly once
+    out = range_join(probe, iv, key="k", ts="t", start="s", end="e", bucket_secs=300)
+    pairs = sorted((r["p_id"], r["iv_id"]) for r in out.collect())
+    assert pairs == [(10, 1), (11, 1), (11, 2), (12, 1), (12, 2)]
+    out.collect()
+    flags = plan_flags(out)
+    assert flags["cartesian"] == 0 and flags["row_udfs"] == 0

@@ -1,4 +1,4 @@
-"""Randomized-corpus oracle fuzz: ALL 45 query/oracle pairs must
+"""Randomized-corpus oracle fuzz: ALL 47 query/oracle pairs must
 agree on ADVERSARIAL data, not just the driver's well-behaved testdata:
 
 - documents: empty/whitespace/unicode/regex-metachar text, giant
@@ -198,6 +198,7 @@ FUZZ_QUERIES = [
     "q06_a9_value_buckets",
     "q35_dd_lsh_pairs",
     "q48_asof_join_last_purchase",
+    "q49_range_join_clicks_in_window",
 ]
 
 
