@@ -1362,6 +1362,29 @@ def q49(spark, sf_dir):
     )
 
 
+@_q(
+    "q50_hypertable_rollup",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q50(spark, sf_dir):
+    """Hypertable rollup (custom-operator family): hourly continuous-
+    aggregate shape, oracle = DuckDB's native time_bucket. The
+    INCREMENTAL maintenance path (only touched buckets refreshed, via
+    the MERGE sink) is pinned equal to this from-scratch rollup in
+    test_rollup_incremental_equals_scratch."""
+    from mel_tnnt_spark.operators.rollup import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    r = time_rollup(ev, ts="ts", dims=("event_type",), value="value", bucket="1 hour")
+    return r.select(
+        "bucket_start", "event_type", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -147,3 +147,30 @@ def test_range_join_semantics_and_plan(spark):
     out.collect()
     flags = plan_flags(out)
     assert flags["cartesian"] == 0 and flags["row_udfs"] == 0
+
+
+def test_rollup_incremental_equals_scratch(spark, tmp_path):
+    """Hypertable rollup: maintaining the stored rollup batch-by-batch
+    (only touched buckets refreshed through the MERGE sink) ends
+    byte-equal to a from-scratch rollup of the full history."""
+    from mel_tnnt_spark.operators.rollup import maintain_rollup, time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    b1 = ev.where(F.col("event_id") % 3 == 0)
+    b2 = ev.where(F.col("event_id") % 3 == 1)
+    b3 = ev.where(F.col("event_id") % 3 == 2)
+
+    path = str(tmp_path / "rollup")
+    for b in (b1, b2, b3):
+        maintain_rollup(spark, path, b)
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in time_rollup(ev).collect()
+    }
+    assert got == want
+    ev.unpersist()
