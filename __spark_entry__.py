@@ -1385,6 +1385,36 @@ def q50(spark, sf_dir):
     )
 
 
+@_q(
+    "q51_count_min_sketch",
+    """
+    WITH cells AS (
+      SELECT d,
+             ('0x' || substr(md5(event_type || '#' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT % 64 AS w
+      FROM events, generate_series(0, 3) AS t(d)),
+    sketch AS (SELECT d, w, count(*) AS cnt FROM cells GROUP BY d, w),
+    probes AS (
+      SELECT DISTINCT event_type AS k, d,
+             ('0x' || substr(md5(event_type || '#' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT % 64 AS w
+      FROM events, generate_series(0, 3) AS t(d))
+    SELECT p.k AS event_type, min(coalesce(s.cnt, 0)) AS est
+    FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.w = s.w
+    GROUP BY p.k
+    """,
+)
+def q51(spark, sf_dir):
+    """Count-min sketch (the 'novel sketch' custom operator): build a
+    4x64 CMS over event_type, then point-estimate each type's
+    frequency. Width 64 on 5 keys makes collisions unlikely, so the
+    estimates equal the true counts here; the overestimate-only
+    property is tested separately under forced collisions."""
+    from mel_tnnt_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "event_type", depth=4, width=64)
+    return cms_estimate(sk, ev.select("event_type"), "event_type", depth=4, width=64)
+
+
 # ---------------------------------------------------------------------------
 
 

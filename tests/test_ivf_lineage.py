@@ -174,3 +174,36 @@ def test_rollup_incremental_equals_scratch(spark, tmp_path):
     }
     assert got == want
     ev.unpersist()
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: estimate >= true count always (overestimate
+    only), exact when width >> keys, still >= under forced collisions
+    (width=2), and sketches merge by cell-wise addition."""
+    from mel_tnnt_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    rows = [(i, f"k{i % 7}") for i in range(700)] + [(700 + j, "hot") for j in range(300)]
+    df = spark.createDataFrame(rows, "idx long, key string")
+    true = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+
+    for width in (2, 256):
+        sk = count_min_sketch(df, "key", depth=4, width=width)
+        est = {
+            r["key"]: r["est"]
+            for r in cms_estimate(sk, df.select("key"), "key", depth=4, width=width).collect()
+        }
+        assert set(est) == set(true)
+        assert all(est[k] >= true[k] for k in true), (width, est, true)
+        if width == 256:
+            assert est == true  # no collisions at this width/key count
+    # sketch cells are bounded by depth*width regardless of input size
+    assert count_min_sketch(df, "key", depth=4, width=2).count() <= 8
+
+    # semigroup merge: sketch(a) + sketch(b) == sketch(a union b)
+    a = df.where(F.col("idx") < 400)
+    b = df.where(F.col("idx") >= 400)
+    sa = count_min_sketch(a, "key", depth=4, width=256)
+    sb = count_min_sketch(b, "key", depth=4, width=256)
+    merged = sa.unionByName(sb).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    whole = count_min_sketch(df, "key", depth=4, width=256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

@@ -1,4 +1,4 @@
-"""Randomized-corpus oracle fuzz: ALL 48 query/oracle pairs must
+"""Randomized-corpus oracle fuzz: ALL 49 query/oracle pairs must
 agree on ADVERSARIAL data, not just the driver's well-behaved testdata:
 
 - documents: empty/whitespace/unicode/regex-metachar text, giant
@@ -200,6 +200,7 @@ FUZZ_QUERIES = [
     "q48_asof_join_last_purchase",
     "q49_range_join_clicks_in_window",
     "q50_hypertable_rollup",
+    "q51_count_min_sketch",
 ]
 
 
