@@ -38,6 +38,10 @@ HEADLINE = [
     "q36_j6_large_vocab_containment",
     "q45_sim_ivf_ann",
     "q47_w_analytic_running_revenue",
+    "q48_asof_join_last_purchase",
+    "q49_range_join_clicks_in_window",
+    "q50_hypertable_rollup",
+    "q51_count_min_sketch",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
