@@ -969,7 +969,7 @@ def q34(spark, sf_dir):
     SELECT regexp_replace('corpus/' || lang || '/' || source || '/doc_' || doc_id,
                           '/[^/]+$', '') AS parent,
            count(*) AS n_files,
-           sum(n_chars) AS total_chars
+           sum(n_chars)::BIGINT AS total_chars
     FROM documents
     GROUP BY parent
     """,
@@ -1321,7 +1321,8 @@ def q48(spark, sf_dir):
         "user_id", "ts", "value", "event_id"
     )
     return asof_join(
-        probe, state, key="user_id", ts="ts", payload_cols=["value"], seq_col="event_id"
+        probe, state, key="user_id", ts="ts", payload_cols=["value"],
+        seq_col="event_id", probe_id_col="event_id",
     ).select("event_id", "user_id", F.col("asof_value"))
 
 

@@ -61,11 +61,26 @@ def main() -> None:
         # partition — reusing a previous id would dynamically overwrite
         # that batch with only the delta (data loss). Explicit ids are
         # for replaying the SAME batch (idempotent rewrite).
-        n_prev = (
-            len([d for d in os.listdir(args.output) if d.startswith("batch_id=")])
-            if resuming and os.path.isdir(args.output)
-            else 0
-        )
+        # The counter comes from the LINEAGE table, not output dirs: a
+        # run that crashed after the triples write committed but before
+        # record_done leaves its batch_id= dir behind with no lineage
+        # row, and the docs it covered are still pending. Counting dirs
+        # would pick a NEW id and duplicate those triples; counting
+        # recorded batches replays into the SAME partition, where the
+        # dynamic overwrite makes the retry idempotent.
+        n_prev = 0
+        if resuming:
+            from pyspark.sql import functions as F
+
+            from mel_tnnt_spark.operators.lineage import read_lineage
+
+            n_prev = (
+                read_lineage(spark, args.lineage)
+                .where(F.col("stage") == "kg")
+                .select("batch_id")
+                .distinct()
+                .count()
+            )
         batch_id = f"batch-{n_prev}"
     res.triples.persist()  # consumed by count + write + metrics
     n_triples = res.triples.count()

@@ -35,40 +35,63 @@ def asof_join(
     ts: str,
     payload_cols: list[str],
     seq_col: str | None = None,
+    probe_id_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: probe columns + `asof_<payload>` columns from
     the latest state row at-or-before the probe's ts (NULL if none).
     `seq_col` (e.g. an event id) breaks equal-ts ties deterministically:
-    the HIGHEST seq wins, mirroring arg_max in the oracle."""
+    the HIGHEST seq wins, mirroring arg_max in the oracle.
+
+    All payload columns are carried as ONE struct per state row, so the
+    result always comes from a single state row and a NULL payload value
+    in the latest state row is preserved (not skipped for an older
+    non-null value) — matching native ASOF JOIN row semantics.
+
+    `probe_id_col` (a unique probe row id) switches to the slim path:
+    only (key, ts, tag, id) flows through the window sort, and the wide
+    probe columns are re-attached by an equi-join on the id afterward —
+    for wide probe tables this keeps the window exchange narrow."""
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
     if seq_col is not None:
+        # max_by over the struct keeps the dedup row-coherent too: all
+        # payload fields come from the single highest-seq row.
         state = state.groupBy(key, ts).agg(
-            *[F.expr(f"max_by({c}, {seq_col})").alias(c) for c in payload_cols]
+            F.max_by(payload_struct, F.col(seq_col)).alias("_s")
         )
-    s = state.select(
-        F.col(key), F.col(ts), F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
-    )
-    p = probe.select(
-        F.col(key), F.col(ts), F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(state.schema[c].dataType).alias(f"_s_{c}") for c in payload_cols],
-        F.struct(*probe.columns).alias("_row"),
-    )
+    else:
+        state = state.select(F.col(key), F.col(ts), payload_struct.alias("_s"))
+    s = state.select(F.col(key), F.col(ts), F.lit(0).alias("_tag"), F.col("_s"))
+    s_type = s.schema["_s"].dataType
+    if probe_id_col is not None:
+        p = probe.select(
+            F.col(key), F.col(ts), F.lit(1).alias("_tag"),
+            F.lit(None).cast(s_type).alias("_s"),
+            F.col(probe_id_col).alias("_rid"),
+        )
+        s = s.withColumn("_rid", F.lit(None).cast(p.schema["_rid"].dataType))
+    else:
+        p = probe.select(
+            F.col(key), F.col(ts), F.lit(1).alias("_tag"),
+            F.lit(None).cast(s_type).alias("_s"),
+            F.struct(*probe.columns).alias("_row"),
+        )
+        s = s.withColumn("_row", F.lit(None).cast(p.schema["_row"].dataType))
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = s.withColumn("_row", F.lit(None).cast(p.schema["_row"].dataType)).unionByName(p).select(
+    carried = s.unionByName(p).select(
         "_tag",
-        "_row",
-        *[
-            F.last(f"_s_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload_cols
-        ],
-    )
-    out_cols = [F.col("_row")[c].alias(c) for c in probe.columns]
-    return carried.where(F.col("_tag") == 1).select(
-        *out_cols, *[f"asof_{c}" for c in payload_cols]
+        "_rid" if probe_id_col is not None else "_row",
+        F.last("_s", ignorenulls=True).over(w).alias("_asof"),
+    ).where(F.col("_tag") == 1)
+    asof_cols = [F.col("_asof")[c].alias(f"asof_{c}") for c in payload_cols]
+    if probe_id_col is not None:
+        slim = carried.select(F.col("_rid").alias(probe_id_col), *asof_cols)
+        return probe.join(slim, probe_id_col, "left")
+    return carried.select(
+        *[F.col("_row")[c].alias(c) for c in probe.columns], *asof_cols
     )
 
 

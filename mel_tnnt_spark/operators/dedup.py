@@ -181,7 +181,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     per-occurrence sign sums are identical). bit_b(doc) = 1 iff
     sum over token occurrences((2*bit_b(h(token)) - 1)) > 0;
     signature = sum(bit_b << b). 16 bits keeps the oracle SQL
-    tractable; the Spark plan is identical at 64 bits.
+    tractable; the same plan runs at the full 64-bit production width.
+
+    A single md5 half gives only 60 usable token-hash bits (15 hex
+    chars), so signature bits 60-63 draw from the SECOND md5 half —
+    otherwise they'd be constant 0 at 64-bit width, silently degrading
+    Hamming distances. Caps at 64 (a long signature).
 
     ZERO shuffles and zero row inflation: the whole signature is a
     per-row fold — tokenize with split, hash each token once via
@@ -191,19 +196,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     rows through a shuffle (x64 at production width); this one is
     embarrassingly parallel, the ideal 100-TB plan. Docs with no
     tokens produce no row (parity with the explode formulation)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
 
-    def contrib(h):
+    def _half(md5_col, lo):
+        return F.conv(F.substring(md5_col, lo, 15), 16, 10).cast("long")
+
+    if bits <= 60:
+        hashes = F.transform(toks, lambda t: F.struct(_half(F.md5(t), 1).alias("h1")))
+    else:
+        hashes = F.transform(
+            toks,
+            lambda t: F.struct(
+                _half(F.md5(t), 1).alias("h1"), _half(F.md5(t), 17).alias("h2")
+            ),
+        )
+
+    def _hash_bit(s, b):
+        # bits 0-59 from the first md5 half, 60-63 from the second
+        src, off = (s["h1"], b) if b < 60 else (s["h2"], b - 60)
+        return src.bitwiseAND(F.lit(_bit_mask(off))) != 0
+
+    def contrib(s):
         return F.array(
-            *[
-                ((h.bitwiseAND(F.lit(_bit_mask(b))) != 0).cast("long") * 2 - 1)
-                for b in range(bits)
-            ]
+            *[(_hash_bit(s, b).cast("long") * 2 - 1) for b in range(bits)]
         )
 
     zero = F.array_repeat(F.lit(0).cast("long"), bits)

@@ -28,14 +28,34 @@ from mel_tnnt_spark.config import ALIAS_DICT
 # run were ~5 s of the local[8] wall clock). Materialized once per
 # SparkSession with an eager localCheckpoint, they become trivial
 # in-memory relations for every later broadcast.
-_DIM_MEMO: dict[tuple[str, str], DataFrame] = {}
+#
+# Bounded: entries for other (stopped) applications are dropped on every
+# access, and at most _DIM_MEMO_MAX live entries are kept LRU-style —
+# long-lived sessions linking with many distinct alias dictionaries
+# can't grow driver/executor storage without bound.
+from collections import OrderedDict
+
+_DIM_MEMO: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
+_DIM_MEMO_MAX = 8
 
 
 def _memo(spark: SparkSession, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, name)
-    if key not in _DIM_MEMO:
-        _DIM_MEMO[key] = build().localCheckpoint(eager=True)
-    return _DIM_MEMO[key]
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _DIM_MEMO if k[0] != app]:
+        del _DIM_MEMO[stale]  # blocks died with that session's executors
+    key = (app, name)
+    if key in _DIM_MEMO:
+        _DIM_MEMO.move_to_end(key)
+        return _DIM_MEMO[key]
+    df = build().localCheckpoint(eager=True)
+    _DIM_MEMO[key] = df
+    while len(_DIM_MEMO) > _DIM_MEMO_MAX:
+        _, evicted = _DIM_MEMO.popitem(last=False)
+        try:  # best-effort storage release for the checkpointed blocks
+            evicted.unpersist()
+        except Exception:
+            pass
+    return df
 
 
 def alias_dict_df(spark: SparkSession) -> DataFrame:

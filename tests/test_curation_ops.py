@@ -56,6 +56,25 @@ def test_simhash_close_for_near_dups(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_64bit_top_bits_live(spark):
+    """At the 64-bit production width the top 4 signature bits (60-63)
+    come from the second md5 half — they must VARY across docs, not be
+    constant 0 (the single-60-bit-hash degradation)."""
+    from mel_tnnt_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(40)],
+        "id int, text string",
+    )
+    sigs = [r["simhash"] for r in simhash(docs, "id", "text", bits=64).collect()]
+    top4 = {(s >> 60) & 0xF for s in sigs}
+    assert len(top4) > 1, "bits 60-63 are constant across 40 distinct docs"
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash(docs, "id", "text", bits=65)
+
+
 def test_cosine_topk_exact(spark):
     from mel_tnnt_spark.operators.similarity import cosine_topk
 

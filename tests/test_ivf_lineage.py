@@ -117,6 +117,48 @@ def test_asof_join_semantics_and_plan(spark):
     assert flags["cartesian"] == 0 and flags["row_udfs"] == 0
 
 
+def test_asof_join_null_payload_row_coherent(spark):
+    """A latest state row whose payload value is NULL must be returned
+    as NULL (not skipped for an older non-null value), and with several
+    payload columns every asof_* value must come from the SAME state
+    row — native ASOF JOIN row semantics."""
+    from mel_tnnt_spark.operators.asof import asof_join
+
+    state = spark.createDataFrame(
+        [(1, 10, "old", 7, 100), (1, 20, None, None, 101)],
+        "k int, t int, a string, b int, seq int",
+    )
+    probe = spark.createDataFrame([(1, 15), (1, 25)], "k int, t int")
+    got = {
+        (r["k"], r["t"]): (r["asof_a"], r["asof_b"])
+        for r in asof_join(probe, state, "k", "t", ["a", "b"], seq_col="seq").collect()
+    }
+    assert got == {
+        (1, 15): ("old", 7),
+        (1, 25): (None, None),  # latest row wins even with NULL payload
+    }
+
+
+def test_asof_join_slim_path_equivalent(spark):
+    """probe_id_col path (narrow window exchange + id rejoin) returns
+    the same rows as the full-carry path."""
+    from mel_tnnt_spark.operators.asof import asof_join
+
+    state = spark.createDataFrame(
+        [(1, 10, "a", 100), (1, 20, "b", 101), (2, 5, "z", 103)],
+        "k int, t int, v string, seq int",
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, 9, "w0"), (11, 1, 10, "w1"), (12, 1, 99, "w2"), (13, 2, 4, "w3")],
+        "rid int, k int, t int, wide string",
+    )
+    full = asof_join(probe, state, "k", "t", ["v"], seq_col="seq")
+    slim = asof_join(probe, state, "k", "t", ["v"], seq_col="seq", probe_id_col="rid")
+    f = sorted([r.asDict() for r in full.collect()], key=lambda d: d["rid"])
+    s = sorted([r.asDict() for r in slim.collect()], key=lambda d: d["rid"])
+    assert f == s and all(d["wide"].startswith("w") for d in s)
+
+
 def test_range_join_semantics_and_plan(spark):
     """Range join: inclusive bounds, overlapping intervals all match,
     no duplicate (probe, interval) pairs across buckets, plan has no

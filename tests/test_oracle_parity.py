@@ -60,6 +60,24 @@ def test_query_matches_oracle(spark, name):
         assert got_pdf is not None  # rows-only check, like the driver's
         return
     exp_pdf = _duck(sql)
+    # Guard against the oracle-dialect artifact that cost q31 (r1) and q40
+    # (r2) their value-hash: DuckDB sum(BIGINT) returns HUGEINT, which
+    # pandas renders as float64 while Spark stays int64 — same values,
+    # different hashed representation. Catch any int-vs-float dtype split
+    # where nulls can't explain the promotion, so uncast oracle integer
+    # aggregates fail HERE instead of in the driver's hash gate.
+    for c in got_pdf.columns:
+        if c not in exp_pdf.columns:
+            continue
+        kinds = {got_pdf[c].dtype.kind, exp_pdf[c].dtype.kind}
+        if kinds == {"i", "f"} and not (
+            got_pdf[c].isna().any() or exp_pdf[c].isna().any()
+        ):
+            pytest.fail(
+                f"{name}.{c}: integer/float dtype split "
+                f"(spark={got_pdf[c].dtype}, oracle={exp_pdf[c].dtype}) — "
+                f"cast the oracle aggregate (::BIGINT) or align the Spark type"
+            )
     gc, gr = _normalize(got_pdf)
     ec, er = _normalize(exp_pdf)
     assert gc == ec, f"{name}: column mismatch {gc} vs {ec}"
