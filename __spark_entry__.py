@@ -1068,11 +1068,13 @@ def q41(spark, sf_dir):
 def q42(spark, sf_dir):
     """P10 — recursive key search: values for key 'k' at ANY depth
     (readJson, code/NLP_NER_API/interface/json_function.py:41-66),
-    over payloads nested 1-3 levels deep by event_type. The Spark side
-    runs the genuinely recursive walker (one Arrow crossing); the
-    oracle, knowing the synthesized depths, checks it with fixed-path
-    extraction."""
-    from mel_tnnt_spark.functions.json_nav import json_find_key
+    over payloads nested 1-3 levels deep by event_type. The gated
+    payloads have KNOWN bounded depth, so the gated path is the
+    JVM-side probe chain (json_nav.json_probe_paths — coalesce of
+    get_json_object, zero Arrow stages); the genuinely-recursive pandas
+    walker (json_nav.json_find_key) remains the unbounded-schema path,
+    equivalence pinned in tests/test_property_json_archives.py."""
+    from mel_tnnt_spark.functions.json_nav import json_probe_paths
 
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
@@ -1081,9 +1083,9 @@ def q42(spark, sf_dir):
         .when(F.col("event_type") == "view", F.concat(F.lit('{"a":{"k":'), k, F.lit("}}")))
         .otherwise(F.concat(F.lit('{"a":{"b":[{"k":'), k, F.lit("}]}}")))
     )
-    found = json_find_key(payload, "k")
+    found = json_probe_paths(payload, ["$.k", "$.a.k", "$.a.b[0].k"])
     return (
-        ev.select("event_type", F.element_at(found, 1).cast("long").alias("k_val"))
+        ev.select("event_type", found.cast("long").alias("k_val"))
         .groupBy("event_type")
         .agg(F.sum("k_val").alias("sum_k"), F.count("*").alias("n"))
     )
@@ -1115,8 +1117,12 @@ def q43(spark, sf_dir):
     code/MEL/__init__.py:292-299): patch nested {extra:{m}} in and bump
     k; verified via field extraction from the merged JSON (key-order
     agnostic). Oracle twin is RFC 7386 json_merge_patch — identical to
-    dict_update when no nulls are present (documented in json_nav.py)."""
-    from mel_tnnt_spark.functions.json_nav import json_deep_merge
+    dict_update when no nulls are present (documented in json_nav.py).
+    Gated path is the BOUNDED JVM twin (from_json + schema-unrolled
+    struct_deep_merge + to_json, zero Arrow stages) — the payload union
+    schema is known; the pandas walker json_deep_merge stays for
+    unknown schemas, equivalence pinned in tests."""
+    from mel_tnnt_spark.functions.json_nav import json_deep_merge_bounded
 
     ev = _t(spark, sf_dir, "events")
     patch = F.concat(
@@ -1124,7 +1130,9 @@ def q43(spark, sf_dir):
         (F.get_json_object("props", "$.k").cast("long") + 1).cast("string"),
         F.lit("}"),
     )
-    merged = json_deep_merge(F.col("props"), patch)
+    merged = json_deep_merge_bounded(
+        F.col("props"), patch, "k BIGINT, extra STRUCT<m: BIGINT>"
+    )
     return (
         ev.select("event_type", merged.alias("merged"))
         .groupBy("event_type")

@@ -114,6 +114,63 @@ def json_find_key(col, key: str):
     return _find(col)
 
 
+def json_probe_paths(col, paths: list[str]):
+    """P10, bounded-depth JVM twin: when the searched key can occur only
+    at a KNOWN set of JSON paths (schemas of bounded depth — the common
+    case for pipeline payloads), the any-depth walk collapses to a
+    coalesce of `get_json_object` probes in probe order. Whole-stage
+    codegen, zero Arrow crossings — at 100x scale this avoids shipping
+    every JSON blob through Python. Use `json_find_key` only for
+    genuinely unbounded/unknown schemas.
+
+    Returns the FIRST value found (the gated queries take element 1 of
+    the walker's result, which for single-occurrence payloads is the
+    same value — equivalence pinned in tests)."""
+    return F.coalesce(*[F.get_json_object(col, p) for p in paths])
+
+
+def struct_deep_merge(left, right, schema):
+    """F15, bounded JVM twin: deep-merge two struct columns that share
+    `schema` (the union of both sides' keys, from_json-parsed). Right
+    wins on scalar conflicts, struct fields merge field-by-field, a
+    NULL side falls back to the other — Utils.dict_update semantics
+    over a STATIC schema, recursion unrolled at plan-build time, so the
+    whole merge stays in codegen with zero Arrow stages.
+
+    Caveat (same equality condition as the RFC-7386 oracle twin):
+    from_json cannot distinguish an absent key from an explicit null,
+    so right-side explicit nulls fall back to left — equal to
+    dict_update whenever the inputs carry no JSON nulls."""
+    from pyspark.sql.types import StructType
+
+    fields = []
+    for f in schema.fields:
+        l, r = left[f.name], right[f.name]
+        if isinstance(f.dataType, StructType):
+            merged = struct_deep_merge(l, r, f.dataType)
+            fields.append(
+                F.when(r.isNull(), l).when(l.isNull(), r).otherwise(merged).alias(f.name)
+            )
+        else:
+            fields.append(F.coalesce(r, l).alias(f.name))
+    return F.struct(*fields)
+
+
+def json_deep_merge_bounded(left, right, schema_ddl: str):
+    """F15 bounded twin over JSON strings: parse both sides with the
+    known union schema, struct_deep_merge, re-serialize. Invalid/NULL
+    JSON degrades to the other side (reference treats a missing dict as
+    {}), matching json_deep_merge. JVM-only path."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(schema_ddl)
+    lp, rp = F.from_json(left, schema), F.from_json(right, schema)
+    merged = F.when(lp.isNull(), F.coalesce(rp, lp)).when(rp.isNull(), lp).otherwise(
+        struct_deep_merge(lp, rp, schema)
+    )
+    return F.to_json(merged)
+
+
 def json_deep_merge(left, right):
     """F15 as a column: deep-merge two JSON object strings, right wins.
     Invalid/NULL inputs degrade to the other side (reference treats a
