@@ -1,27 +1,32 @@
-"""S6 — keyed insert/update/delete sink (MERGE semantics).
+"""S6 — keyed insert/update/delete sink (MERGE semantics), O(touched).
 
 The reference mutates per-document records in CouchDB (insert/update/
 delete by doc key, code/MEL/__init__.py:2365-2423 and the CouchDB
 Dataset plumbing). The lakehouse-native equivalent is Iceberg
 `MERGE INTO target USING changes ON keys` — this module implements
 those semantics over the sandbox's parquet stand-in with the same
-commit discipline Iceberg gives you:
+commit discipline AND the same cost model Iceberg gives you:
 
-- read current target + changes -> merged snapshot (anti-join on keys,
-  union surviving rows, drop deletes);
-- write the snapshot to a STAGING directory;
-- atomically promote staging via directory rename (os.replace-style
-  swap). A crash before the swap leaves the live target untouched; a
-  rerun of the same merge overwrites the orphan staging dir and
-  completes. This is exactly Iceberg's write-then-commit-pointer model
-  scaled down to a filesystem.
+- the target is laid out in key-hash bucket partitions
+  (`kb=pmod(xxhash64(keys), n_buckets)`), recorded once in
+  `_merge_meta.json`;
+- a merge computes the set of buckets its change keys land in, reads
+  ONLY those bucket partitions (partition pruning), anti-joins the
+  touched keys out, unions the upserts back, and rewrites ONLY the
+  touched bucket directories — I/O is O(|touched buckets|), not
+  O(|table|), so an incremental rollup refresh stays incremental;
+- each touched bucket is promoted atomically-enough via the staged
+  rename dance (live -> __old, staging -> live, drop __old). A crash
+  in any window is repaired on the next run (restore __old entries,
+  rebuild staging from scratch); replaying the same merge is
+  idempotent. This is Iceberg's write-then-commit-pointer model scaled
+  down to a filesystem, at bucket granularity.
 
-Scale notes: the merge is one shuffle-free scan of changes broadcast-
-anti-joined against the target when changes are small (the common
-incremental case — Catalyst picks the broadcast side from stats), or a
-key-partitioned SMJ when both sides are large. No driver collect. On a
-real deployment, swap `merge_upsert` for `spark.sql("MERGE INTO ...")`
-against the Iceberg catalog; call sites are agnostic.
+Scale notes: no driver collect beyond the <= n_buckets touched-bucket
+ids; the anti-join broadcasts the change keys in the common
+small-batch case. On a real deployment, swap `merge_upsert` for
+`spark.sql("MERGE INTO ...")` against an Iceberg table partitioned by
+`bucket(n, keys)`; call sites are agnostic.
 
 Change-row contract: `op` column in {'upsert','delete'} (absent op
 column = all upserts), remaining columns = target schema.
@@ -29,6 +34,7 @@ column = all upserts), remaining columns = target schema.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -37,6 +43,57 @@ from pyspark.sql import functions as F
 
 _STAGING_SUFFIX = "__staging"
 _OLD_SUFFIX = "__old"
+_META_FILE = "_merge_meta.json"
+_BUCKET_COL = "kb"
+DEFAULT_N_BUCKETS = 16  # sandbox scale; hundreds on a real cluster
+
+
+def _bucket_expr(keys: tuple[str, ...], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _read_meta(target_path: str) -> dict | None:
+    p = os.path.join(target_path, _META_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _write_meta(target_path: str, n_buckets: int, keys: tuple[str, ...]) -> None:
+    os.makedirs(target_path, exist_ok=True)
+    with open(os.path.join(target_path, _META_FILE), "w") as f:
+        json.dump({"n_buckets": n_buckets, "keys": list(keys)}, f)
+
+
+def _bucket_dirs(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if d.startswith(f"{_BUCKET_COL}="))
+
+
+def _recover(target_path: str) -> None:
+    """Repair any crash window before reading: every entry still under
+    __old whose live twin is missing is restored (the rename-away
+    happened but the staged replacement never landed). Entries whose
+    live twin exists were already promoted — drop the old copy."""
+    old = target_path + _OLD_SUFFIX
+    if not os.path.isdir(old):
+        return
+    os.makedirs(target_path, exist_ok=True)
+    for entry in os.listdir(old):
+        live = os.path.join(target_path, entry)
+        stale = os.path.join(old, entry)
+        if not os.path.exists(live):
+            os.rename(stale, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a merge-maintained table without the internal bucket
+    column. Works for both the bucketed and (legacy) flat layouts."""
+    df = spark.read.parquet(target_path)
+    return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
 
 def merge_upsert(
@@ -45,20 +102,21 @@ def merge_upsert(
     changes: DataFrame,
     keys: tuple[str, ...],
     op_col: str | None = "op",
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> None:
-    """MERGE changes into the parquet table at target_path:
+    """MERGE changes into the bucketed parquet table at target_path:
     matched + upsert -> replaced by the change row; matched + delete ->
-    removed; unmatched upsert -> inserted."""
+    removed; unmatched upsert -> inserted. Reads and rewrites ONLY the
+    key-hash buckets the change batch touches."""
     op_col = op_col or "op"
     if op_col not in changes.columns:
         changes = changes.withColumn(op_col, F.lit("upsert"))
 
-    # crash recovery: a failure between _promote's two renames leaves
-    # the live dir missing and the full copy under __old — restore it
-    # BEFORE reading, so the rerun merges against the real table
-    old = target_path + _OLD_SUFFIX
-    if not os.path.exists(target_path) and os.path.exists(old):
-        os.rename(old, target_path)
+    _recover(target_path)
+
+    meta = _read_meta(target_path)
+    if meta is not None:
+        n_buckets = int(meta["n_buckets"])  # layout is fixed at creation
 
     # Iceberg MERGE rejects a source row matching multiple times; the
     # mirror condition here is multiple change rows for one key, which
@@ -70,34 +128,81 @@ def merge_upsert(
             "dedupe the batch to one operation per key first"
         )
 
+    kb = _bucket_expr(keys, n_buckets)
     upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    existing_buckets = _bucket_dirs(target_path)
+    legacy_flat = (
+        os.path.isdir(target_path)
+        and not existing_buckets
+        and any(not e.startswith("_") for e in os.listdir(target_path))
+    )
 
-    if os.path.exists(target_path):
+    if legacy_flat:
+        # one-time migration of a pre-bucketed table: full rewrite into
+        # the bucketed layout (documented O(table) cost, happens once)
         current = spark.read.parquet(target_path)
-        # every touched key (upsert OR delete) leaves the target; only
-        # upserts come back — deletes of never-inserted keys are no-ops
         touched = changes.select(*keys).distinct()
-        survivors = current.join(touched, list(keys), "left_anti")
-        merged = survivors.unionByName(upserts)
+        merged = current.join(touched, list(keys), "left_anti").unionByName(upserts)
+        touched_bucket_ids = set(range(n_buckets))
+    elif existing_buckets:
+        # bounded collect: at most n_buckets distinct bucket ids
+        touched_bucket_ids = {
+            r[0] for r in changes.select(kb.alias("_b")).distinct().collect()
+        }
+        live_touched = [
+            os.path.join(target_path, f"{_BUCKET_COL}={b}")
+            for b in sorted(touched_bucket_ids)
+            if f"{_BUCKET_COL}={b}" in set(existing_buckets)
+        ]
+        if live_touched:
+            current = (
+                spark.read.option("basePath", target_path)
+                .parquet(*live_touched)
+                .drop(_BUCKET_COL)
+            )
+            touched = changes.select(*keys).distinct()
+            survivors = current.join(touched, list(keys), "left_anti")
+            merged = survivors.unionByName(upserts)
+        else:
+            merged = upserts
     else:
         merged = upserts
+        touched_bucket_ids = {
+            r[0] for r in changes.select(kb.alias("_b")).distinct().collect()
+        }
 
     staging = target_path + _STAGING_SUFFIX
-    merged.write.mode("overwrite").parquet(staging)
-    _promote(staging, target_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        merged.withColumn(_BUCKET_COL, _bucket_expr(keys, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET_COL)
+        .parquet(staging)
+    )
+    _write_meta(target_path, n_buckets, keys)
+    _promote_buckets(staging, target_path, sorted(touched_bucket_ids))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
-def _promote(staging: str, target_path: str) -> None:
-    """Atomic-enough swap for a local filesystem: rename live -> old,
-    staging -> live, drop old. The only non-atomic window is between
-    the two renames, and a rerun repairs it (staging is rebuilt from
-    scratch each merge). Iceberg replaces this whole function with a
-    metadata-pointer commit."""
-    old = target_path + _OLD_SUFFIX
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staging, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+def _promote_buckets(staging: str, target_path: str, bucket_ids: list[int]) -> None:
+    """Per-bucket staged swap: for each touched bucket, rename live ->
+    __old, staged -> live, drop __old. A staged bucket with no rows
+    (all keys deleted) simply removes the live bucket. Crash windows
+    are repaired by _recover() on the next merge; rebuilding staging
+    from scratch makes replays idempotent."""
+    old_root = target_path + _OLD_SUFFIX
+    for b in bucket_ids:
+        name = f"{_BUCKET_COL}={b}"
+        live = os.path.join(target_path, name)
+        staged = os.path.join(staging, name)
+        old = os.path.join(old_root, name)
+        if os.path.exists(live):
+            os.makedirs(old_root, exist_ok=True)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(live, old)
+        if os.path.exists(staged):
+            os.rename(staged, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(old_root, ignore_errors=True)

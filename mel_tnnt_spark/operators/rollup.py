@@ -56,12 +56,12 @@ def maintain_rollup(
     (stored + delta re-aggregated); everything else is untouched."""
     import os
 
-    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert, read_merged
 
     keys = ("bucket_start", *dims)
     delta = time_rollup(batch, ts, dims, value, bucket)
     if os.path.exists(rollup_path):
-        stored = spark.read.parquet(rollup_path)
+        stored = read_merged(spark, rollup_path)
         affected = stored.join(delta.select(*keys).distinct(), list(keys), "inner")
         merged = (
             affected.unionByName(delta)

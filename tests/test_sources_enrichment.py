@@ -268,7 +268,7 @@ def test_merge_upsert_crash_replay(spark, tmp_path):
 
     changes = spark.createDataFrame([(1, "A2", "upsert")], "k int, v string, op string")
     # simulate crash: build staging exactly like merge_upsert, skip promote
-    staged = spark.read.parquet(target).join(
+    staged = merge_sink.read_merged(spark, target).join(
         changes.select("k").distinct(), ["k"], "left_anti"
     ).unionByName(changes.drop("op"))
     staging = target + merge_sink._STAGING_SUFFIX
@@ -332,3 +332,45 @@ def test_lookup_with_fallback_null_payload_primary_hit(spark):
            lookup_with_fallback(probe, dim, "k_id", "k_name", ["src"]).collect()}
     assert got[5] == (None, "primary")    # not ('x', 'fallback')
     assert got[99] == (None, "fallback")  # miss by id -> min_by(k_id=5) row, src NULL
+
+
+def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(touched) contract: an incremental merge must leave every
+    untouched key-hash bucket's files byte-identical on disk (same
+    paths, sizes, mtimes) and rewrite only the buckets its change keys
+    hash into — the cost model of a real Iceberg MERGE over a
+    bucket-partitioned table."""
+    import os
+
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert, read_merged
+
+    target = str(tmp_path / "tblb")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k int, v string"
+    )
+    merge_upsert(spark, target, base, keys=("k",), n_buckets=8)
+    dirs = sorted(d for d in os.listdir(target) if d.startswith("kb="))
+    assert len(dirs) > 3  # keys actually spread over buckets
+
+    def snapshot():
+        snap = {}
+        for d in dirs:
+            for f in os.listdir(os.path.join(target, d)):
+                p = os.path.join(target, d, f)
+                st = os.stat(p)
+                snap[p] = (st.st_size, st.st_mtime_ns)
+        return snap
+
+    before = snapshot()
+    changes = spark.createDataFrame([(3, "V3", "upsert")], "k int, v string, op string")
+    merge_upsert(spark, target, changes, keys=("k",))
+    after = snapshot()
+
+    changed_dirs = {
+        os.path.basename(os.path.dirname(p))
+        for p in (set(before) ^ set(after))
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    assert len(changed_dirs) == 1, f"rewrote {changed_dirs}, expected exactly one bucket"
+    got = {r["k"]: r["v"] for r in read_merged(spark, target).collect()}
+    assert got[3] == "V3" and got[5] == "v5" and len(got) == 64
