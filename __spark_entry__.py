@@ -838,23 +838,33 @@ def q26(spark, sf_dir):
     """
     WITH RECURSIVE
     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
-    p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-    p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
-    p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 2),
-    p3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
     sig AS (
       SELECT id, v,
-             (list_dot_product(v, (SELECT v FROM p0)) >= 0)::INT::VARCHAR ||
-             (list_dot_product(v, (SELECT v FROM p1)) >= 0)::INT::VARCHAR AS bk0,
-             (list_dot_product(v, (SELECT v FROM p2)) >= 0)::INT::VARCHAR ||
-             (list_dot_product(v, (SELECT v FROM p3)) >= 0)::INT::VARCHAR AS bk1
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) >= 0) AS b0,
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) >= 0) AS b1,
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 2)) >= 0) AS b2,
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)) >= 0) AS b3,
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 4)) >= 0) AS b4,
+             (list_dot_product(v, (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 5)) >= 0) AS b5
       FROM e),
     cand AS (
       SELECT a.id AS sa, b.id AS sb, round(list_cosine_similarity(a.v, b.v), 6) AS cos
-      FROM sig a JOIN sig b ON a.bk0 = b.bk0 AND a.id < b.id
+      FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.id < b.id
       UNION
-      SELECT a.id AS sa, b.id AS sb, round(list_cosine_similarity(a.v, b.v), 6) AS cos
-      FROM sig a JOIN sig b ON a.bk1 = b.bk1 AND a.id < b.id),
+      SELECT a.id, b.id, round(list_cosine_similarity(a.v, b.v), 6)
+      FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.id < b.id
+      UNION
+      SELECT a.id, b.id, round(list_cosine_similarity(a.v, b.v), 6)
+      FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.id < b.id
+      UNION
+      SELECT a.id, b.id, round(list_cosine_similarity(a.v, b.v), 6)
+      FROM sig a JOIN sig b ON a.b3 = b.b3 AND a.id < b.id
+      UNION
+      SELECT a.id, b.id, round(list_cosine_similarity(a.v, b.v), 6)
+      FROM sig a JOIN sig b ON a.b4 = b.b4 AND a.id < b.id
+      UNION
+      SELECT a.id, b.id, round(list_cosine_similarity(a.v, b.v), 6)
+      FROM sig a JOIN sig b ON a.b5 = b.b5 AND a.id < b.id),
     p AS (SELECT DISTINCT sa, sb FROM cand WHERE cos >= 0.25),
     edges AS (SELECT sa, sb FROM p UNION SELECT sb AS sa, sa AS sb FROM p),
     reach(node, r) AS (
@@ -866,18 +876,24 @@ def q26(spark, sf_dir):
 )
 def q28(spark, sf_dir):
     """CC over the near-dup graph, edges from the BLOCKED (banded
-    random-hyperplane LSH) pair plan — zero CartesianProduct. Pivots are
-    the first 4 data vectors so the oracle reproduces the blocking."""
+    random-hyperplane LSH) pair plan — zero CartesianProduct. Pivots
+    are the first 6 data vectors so the oracle reproduces the blocking.
+    Operating point: 6 one-bit bands at theta=0.25 — analytic candidate
+    recall 1-(1-0.58)^6 ~ 0.995, MEASURED 1.0 at sf0.001 and sf0.01
+    (pinned by test_embedding_lsh_recall_at_gate). At production
+    near-dup thresholds (>=0.9) fewer, wider bands give selectivity
+    and recall together; the weak gated threshold is what forces the
+    many-band OR."""
     from mel_tnnt_spark.operators.components import connected_components
     from mel_tnnt_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     pivots = [
         [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+        for r in emb.where(F.col("vec_id") < 6).orderBy("vec_id").collect()
     ]
     edges = embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, pivots=pivots, bits_per_band=2
+        emb, "vec_id", "embedding", threshold=0.25, pivots=pivots, bits_per_band=1
     )
     cc = connected_components(edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     nodes = emb.select(F.col("vec_id").alias("node"))
