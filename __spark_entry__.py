@@ -1440,6 +1440,120 @@ def q51(spark, sf_dir):
     return cms_estimate(sk, ev.select("event_type"), "event_type", depth=4, width=64)
 
 
+# --- enrichment (M12/M13) + stateful batch twin ------------------------------
+
+@_q(
+    "q52_m12_pos_dep_tokens",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS doc_id, lang,
+             (n_chars % 100)::VARCHAR AS num,
+             length(lang)::INT AS L,
+             length((n_chars % 100)::VARCHAR)::INT AS D
+      FROM documents WHERE doc_id < 30)
+    SELECT doc_id,
+           u.sent_idx::INT AS sent_idx, u.token, u.lemma, u.pos, u.tag,
+           u.alpha, u.starts::INT AS starts, u.ends::INT AS ends, u.dep
+    FROM d, UNNEST([
+      {'sent_idx': 0, 'token': 'Alice',   'lemma': 'alice',   'pos': 'PROPN', 'tag': 'NNP', 'alpha': true,  'starts': 0,      'ends': 5,      'dep': 'nsubj'},
+      {'sent_idx': 0, 'token': 'Johnson', 'lemma': 'johnson', 'pos': 'PROPN', 'tag': 'NNP', 'alpha': true,  'starts': 6,      'ends': 13,     'dep': 'nsubj'},
+      {'sent_idx': 0, 'token': 'built',   'lemma': 'built',   'pos': 'VERB',  'tag': 'VB',  'alpha': true,  'starts': 14,     'ends': 19,     'dep': 'ROOT'},
+      {'sent_idx': 0, 'token': 'the',     'lemma': 'the',     'pos': 'DET',   'tag': 'DT',  'alpha': true,  'starts': 20,     'ends': 23,     'dep': 'det'},
+      {'sent_idx': 0, 'token': lang,      'lemma': lang,      'pos': 'NOUN',  'tag': 'NN',  'alpha': true,  'starts': 24,     'ends': 24+L,   'dep': 'obj'},
+      {'sent_idx': 0, 'token': 'pipeline','lemma': 'pipeline','pos': 'NOUN',  'tag': 'NN',  'alpha': true,  'starts': 25+L,   'ends': 33+L,   'dep': 'obj'},
+      {'sent_idx': 0, 'token': '.',       'lemma': '.',       'pos': 'PUNCT', 'tag': '.',   'alpha': false, 'starts': 33+L,   'ends': 34+L,   'dep': 'dep'},
+      {'sent_idx': 1, 'token': 'She',     'lemma': 'she',     'pos': 'PRON',  'tag': 'PRP', 'alpha': true,  'starts': 35+L,   'ends': 38+L,   'dep': 'nsubj'},
+      {'sent_idx': 1, 'token': 'quickly', 'lemma': 'quickly', 'pos': 'ADV',   'tag': 'RB',  'alpha': true,  'starts': 39+L,   'ends': 46+L,   'dep': 'dep'},
+      {'sent_idx': 1, 'token': 'made',    'lemma': 'made',    'pos': 'VERB',  'tag': 'VB',  'alpha': true,  'starts': 47+L,   'ends': 51+L,   'dep': 'ROOT'},
+      {'sent_idx': 1, 'token': num,       'lemma': num,       'pos': 'NUM',   'tag': 'CD',  'alpha': false, 'starts': 52+L,   'ends': 52+L+D, 'dep': 'dep'},
+      {'sent_idx': 1, 'token': 'tools',   'lemma': 'tool',    'pos': 'NOUN',  'tag': 'NN',  'alpha': true,  'starts': 53+L+D, 'ends': 58+L+D, 'dep': 'obj'},
+      {'sent_idx': 1, 'token': '.',       'lemma': '.',       'pos': 'PUNCT', 'tag': '.',   'alpha': false, 'starts': 58+L+D, 'ends': 59+L+D, 'dep': 'dep'}
+    ]) AS t(u)
+    """,
+)
+def q52(spark, sf_dir):
+    """M12 — POS-tag + dependency-parse enrichment (spacy_PT_DP_task.py:
+    23-72 schema) over a CONTROLLED template sentence pair synthesized
+    from table columns, so the DuckDB oracle can independently compute
+    every expected token row — token text, lemma, pos/tag, alpha,
+    ABSOLUTE character offsets, and shallow deps — from the template
+    arithmetic. Exercises the tokenizer, the sentence splitter, the
+    sentence-initial PROPN promotion, the irregular-verb/ADV/NUM/PUNCT
+    branches, and the nsubj/ROOT/det/obj/dep assignment."""
+    from mel_tnnt_spark.operators.enrichment import pos_tag_tokens
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    text = F.concat(
+        F.lit("Alice Johnson built the "), F.col("lang"),
+        F.lit(" pipeline. She quickly made "),
+        (F.col("n_chars") % 100).cast("string"), F.lit(" tools."),
+    )
+    return pos_tag_tokens(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), text.alias("content"))
+    )
+
+
+@_q(
+    "q53_m13_coref_chains",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS doc_id, upper(source) AS src,
+             length(source)::INT AS S
+      FROM documents WHERE doc_id < 30)
+    SELECT doc_id,
+           u.chain_id::INT AS chain_id, u.mention,
+           u.starts::INT AS starts, u.ends::INT AS ends, u.representative
+    FROM d, UNNEST([
+      {'chain_id': 0,  'mention': 'Alice Johnson', 'starts': 0,    'ends': 13,   'representative': 'Alice Johnson'},
+      {'chain_id': 18, 'mention': src,             'starts': 18,   'ends': 18+S, 'representative': src},
+      {'chain_id': 18, 'mention': 'She',           'starts': 20+S, 'ends': 23+S, 'representative': src},
+      {'chain_id': 18, 'mention': 'him',           'starts': 32+S, 'ends': 35+S, 'representative': src}
+    ]) AS t(u)
+    """,
+)
+def q53(spark, sf_dir):
+    """M13 — coreference chains (coref_coreNLP.py:18-45 shape) over a
+    controlled template: 'Alice Johnson met SRC. She thanked him.' The
+    nearest-antecedent stand-in links both pronouns to the most recent
+    entity mention (SRC); chain ids are first-mention offsets and the
+    representative is the chain's first mention — all reproduced
+    arithmetically by the oracle."""
+    from mel_tnnt_spark.operators.enrichment import coref_resolve
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    text = F.concat(
+        F.lit("Alice Johnson met "), F.upper("source"), F.lit(". She thanked him.")
+    )
+    return coref_resolve(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), text.alias("content"))
+    )
+
+
+@_q(
+    "q54_stream_first_seen_batch",
+    """
+    SELECT md5(text) AS key,
+           min(doc_id::VARCHAR) AS first_id,
+           (count(*) - 1)::BIGINT AS dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q54(spark, sf_dir):
+    """Batch twin of the streaming first-seen dedup
+    (streaming/stateful.first_seen_updates): the state the stream
+    converges to after all arrivals — per content hash, the
+    lexicographic-min id and arrivals-1 duplicates. Stream==batch
+    convergence is pinned in tests/test_streaming.py; this gates the
+    batch twin against an independent engine (the q46 pattern)."""
+    from mel_tnnt_spark.streaming.stateful import first_seen_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
+    )
+    return first_seen_batch(keyed, "text_hash", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

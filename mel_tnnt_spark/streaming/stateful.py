@@ -109,6 +109,23 @@ def sessionize(
     )
 
 
+def first_seen_batch(
+    df: DataFrame, key_col: str = "text_hash", id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch twin of first_seen_updates: the state the stream converges
+    to after all arrivals — per key, the minimum id as first_id and
+    arrivals-1 as dups. One map-side-combined groupBy; the oracle gate
+    (q54) pins it, and test_streaming pins stream==batch convergence."""
+    from pyspark.sql import functions as F
+
+    # cast BEFORE min: the stream carries string ids (OUT_SCHEMA), so
+    # the twin must use the same lexicographic min, not a numeric one
+    return df.groupBy(df[key_col].alias("key")).agg(
+        F.min(df[id_col].cast("string")).alias("first_id"),
+        (F.count(F.lit(1)) - 1).alias("dups"),
+    )
+
+
 def first_seen_updates(
     stream: DataFrame, key_col: str = "text_hash", id_col: str = "doc_id"
 ) -> DataFrame:

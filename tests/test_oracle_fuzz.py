@@ -201,6 +201,9 @@ FUZZ_QUERIES = [
     "q49_range_join_clicks_in_window",
     "q50_hypertable_rollup",
     "q51_count_min_sketch",
+    "q52_m12_pos_dep_tokens",
+    "q53_m13_coref_chains",
+    "q54_stream_first_seen_batch",
 ]
 
 

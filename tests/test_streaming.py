@@ -124,6 +124,17 @@ def test_stateful_first_seen_dedup(spark, tmpdirs):
     # state and the dup count accumulates; h2 unchanged -> no emission
     assert got2 == {"h1": ("d01", 2), "h3": ("d05", 0)}
 
+    # stream == batch convergence: the final streamed state (latest
+    # update per key) must equal the batch twin over the full corpus
+    from mel_tnnt_spark.streaming.stateful import first_seen_batch
+
+    final_state = {**got1, **got2}
+    batch = {
+        r["key"]: (r["first_id"], r["dups"])
+        for r in first_seen_batch(b1.unionByName(b2)).collect()
+    }
+    assert final_state == batch
+
 
 def test_sessionize_event_time_timeout(spark, tmpdirs):
     """EventTimeTimeout: a session closes (state freed, row emitted)
