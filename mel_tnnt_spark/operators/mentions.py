@@ -238,6 +238,45 @@ class VectorizedTokenModel:
         return self.detect_batch([text])[0]
 
 
+class HeavyEmbeddingTokenModel(VectorizedTokenModel):
+    """Memory-pressure twin of VectorizedTokenModel: identical output,
+    but the lazy per-worker load ALSO materializes a configurable
+    multi-GB float32 block standing in for real model weights (no
+    model wheels ship in this container — sanctioned; this closes the
+    remaining gap: per-worker memory behavior under a heavy model was
+    unmeasured). scripts/heavy_model_probe.py drives it over the 100k
+    corpus and records per-worker peak RSS, load counts (must be <= 1
+    per worker — the one-time-load claim, reference analogue
+    code/MEL/__init__.py:2351-2356), and throughput into BENCH.md. The
+    block is gathered on every batch so it stays resident like real
+    weights would."""
+
+    _BLOCK = None  # class-level: one allocation per python worker
+    _LOADS = 0
+
+    def __init__(self, mb: int = 1024):
+        self._mb = mb
+
+    @classmethod
+    def _load_block(cls, mb: int):
+        if cls._BLOCK is None:
+            import numpy as np
+
+            n = mb * 1024 * 1024 // 4
+            # arange writes every page -> genuinely resident, and
+            # deterministic (no RNG)
+            cls._BLOCK = np.arange(n, dtype=np.float32)
+            cls._LOADS += 1
+        return cls._BLOCK
+
+    def detect_batch(self, texts: list[str]) -> list[list[tuple[str, str, int, int]]]:
+        block = self._load_block(self._mb)
+        # touch a spread of the block each batch (embedding-gather shape)
+        stride = max(1, len(block) // 97)
+        float(block[::stride].sum())
+        return super().detect_batch(texts)
+
+
 _SPACY_CACHE: dict[str, object] = {}
 
 
@@ -284,6 +323,13 @@ def _detectors() -> dict[str, Detector]:
         _DETECTOR_CACHE["gazetteer_onto_model"] = _gazetteer_detector(GAZETTEER_ONTO)
         _DETECTOR_CACHE["token_rule_model"] = _token_rule_detector()
         _DETECTOR_CACHE["vectorized_token_model"] = VectorizedTokenModel()
+        import os
+
+        heavy_mb = os.environ.get("SPARK_GRAFT_HEAVY_MB")
+        if heavy_mb:  # opt-in: the memory-pressure probe only
+            _DETECTOR_CACHE["heavy_embedding_model"] = HeavyEmbeddingTokenModel(
+                int(heavy_mb)
+            )
     return _DETECTOR_CACHE
 
 
