@@ -42,6 +42,9 @@ HEADLINE = [
     "q49_range_join_clicks_in_window",
     "q50_hypertable_rollup",
     "q51_count_min_sketch",
+    "q52_m12_pos_dep_tokens",
+    "q53_m13_coref_chains",
+    "q54_stream_first_seen_batch",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
