@@ -85,6 +85,7 @@ def main() -> None:
         return
 
     best: dict[int, float] = {}
+    trials: dict[int, list[float]] = {}
     counts: dict[int, int] = {}
     levels = [args.n, args.n * 4]
     for _ in range(args.trials):
@@ -99,6 +100,7 @@ def main() -> None:
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             best[cores] = min(best.get(cores, float("inf")), r["dt"])
+            trials.setdefault(cores, []).append(round(r["dt"], 2))
             counts[cores] = r["n"]
     assert counts[levels[0]] == counts[levels[1]], f"triple counts diverged: {counts}"
     n1 = counts[levels[0]]
@@ -114,6 +116,8 @@ def main() -> None:
                 "trials": args.trials,
                 "t_n_sec": round(t_small, 2),
                 "t_4n_sec": round(t_large, 2),
+                "trials_n_sec": trials[levels[0]],
+                "trials_4n_sec": trials[levels[1]],
                 "triples_per_sec_n": round(thr_small, 1),
                 "triples_per_sec_4n": round(thr_large, 1),
                 "scaling_efficiency": round(eff, 3),
