@@ -1554,6 +1554,56 @@ def q54(spark, sf_dir):
     return first_seen_batch(keyed, "text_hash", "doc_id")
 
 
+@_q(
+    "q55_multimodal_image_decode",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS media_id,
+             ((doc_id * 37 +   0) % 256)::DOUBLE AS p0,
+             ((doc_id * 37 +  59) % 256)::DOUBLE AS p1,
+             ((doc_id * 37 + 118) % 256)::DOUBLE AS p2,
+             ((doc_id * 37 + 177) % 256)::DOUBLE AS p3
+      FROM documents WHERE doc_id < 40),
+    m AS (SELECT *, (p0 + p1 + p2 + p3) / 4.0 AS mean FROM d)
+    SELECT media_id, 2::INT AS width, 2::INT AS height,
+           repeat(printf('%02x', CASE WHEN p0 > mean THEN 240 ELSE 0 END
+                                + CASE WHEN p1 > mean THEN 15 ELSE 0 END), 4) ||
+           repeat(printf('%02x', CASE WHEN p2 > mean THEN 240 ELSE 0 END
+                                + CASE WHEN p3 > mean THEN 15 ELSE 0 END), 4) AS phash
+    FROM m
+    """,
+)
+def q55(spark, sf_dir):
+    """Multimodal image decode with the REAL kernel (no fake): a 2x2
+    P6 PPM is synthesized per row from table columns (gray pixels
+    p_i = (doc_id*37 + i*59) % 256, bytes built JVM-side via
+    unhex/concat), decoded by the pure-python PPM parser inside the
+    mapInPandas stage, and the emitted width/height/aHash are checked
+    against the oracle's closed-form expectation: nearest-neighbor 8x8
+    of a 2x2 image makes each quadrant one pixel, so the 64-bit
+    average hash is two repeated half-bytes determined by which pixels
+    exceed the 4-pixel mean."""
+    from mel_tnnt_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    def byte(c):
+        return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+    px = []
+    for i in range(4):
+        b = byte((F.col("doc_id") * 37 + i * 59) % 256)
+        px += [b, b, b]  # R=G=B gray pixel
+    payload = F.concat(F.lit("P6\n2 2\n255\n").cast("binary"), *px)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        payload.alias("payload"),
+    )
+    return extract_image_features(media)
+
+
 # ---------------------------------------------------------------------------
 
 

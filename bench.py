@@ -45,6 +45,7 @@ HEADLINE = [
     "q52_m12_pos_dep_tokens",
     "q53_m13_coref_chains",
     "q54_stream_first_seen_batch",
+    "q55_multimodal_image_decode",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -108,6 +108,56 @@ def run_incremental(
     return q
 
 
+def stream_maintain_rollup(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    ts: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value: str = "value",
+    bucket: str = "1 hour",
+    once: bool = True,
+):
+    """Continuous-aggregate maintenance from a stream (the TimescaleDB
+    continuous-aggregate shape end to end): every micro-batch is merged
+    into the stored rollup via `operators.rollup.maintain_rollup`, so
+    only the time buckets the batch touches are re-aggregated and only
+    their key-hash partitions rewritten (the O(touched) MERGE sink).
+
+    Replay protection: foreachBatch is at-least-once, and the rollup
+    merge ADDS, so a re-delivered batch must be skipped, not re-merged.
+    Applied batch ids are recorded as marker files next to the rollup
+    (written AFTER the merge commits). The remaining window — a crash
+    between the merge's last bucket promote and the marker write —
+    re-applies one batch; a real Iceberg MERGE commits data and
+    ancestry in one snapshot and closes it. Stream==batch equality is
+    pinned in tests/test_streaming.py."""
+    import os
+
+    from mel_tnnt_spark.operators.rollup import maintain_rollup
+
+    applied_dir = rollup_path + "__applied"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: already merged
+        maintain_rollup(
+            batch_df.sparkSession, rollup_path, batch_df,
+            ts=ts, dims=dims, value=value, bucket=bucket,
+        )
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="10 seconds").start()
+
+
 def mention_rate_stream(events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window counts — the standard late-data shape
     (per event_type). `events` must be a streaming frame with `ts`."""

@@ -204,6 +204,7 @@ FUZZ_QUERIES = [
     "q52_m12_pos_dep_tokens",
     "q53_m13_coref_chains",
     "q54_stream_first_seen_batch",
+    "q55_multimodal_image_decode",
 ]
 
 
