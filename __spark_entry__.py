@@ -1604,6 +1604,92 @@ def q55(spark, sf_dir):
     return extract_image_features(media)
 
 
+@_q(
+    "q56_s2_general_metadata",
+    """
+    WITH s AS (
+      SELECT 'corpus-' || source AS repo,
+             lang || '/docs/doc_' || doc_id::VARCHAR ||
+               CASE WHEN lang = 'und' THEN '.xyz'
+                    WHEN source = 'web' THEN '.md'
+                    WHEN source = 'wiki' THEN '.txt'
+                    ELSE '.py' END AS path,
+             md5(doc_id::VARCHAR) AS commit, text
+      FROM documents WHERE doc_id < 50),
+    e AS (SELECT *, upper(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) AS ext FROM s)
+    SELECT sha256(repo || '|' || path || '|' || commit) AS doc_id,
+           repo || '/' || path AS abs_path,
+           regexp_extract(path, '([^/]+)$', 1) AS filename,
+           regexp_extract(path, '^(.*)/[^/]+$', 1) AS parent,
+           ext AS extension,
+           strlen(coalesce(text, '')) AS file_length,
+           CASE ext WHEN 'TXT' THEN 'text/plain'
+                    WHEN 'MD'  THEN 'text/markdown'
+                    WHEN 'PY'  THEN 'text/x-python'
+                    ELSE 'application/octet-stream' END AS mime_type,
+           CASE ext WHEN 'TXT' THEN 'TXT'
+                    WHEN 'MD'  THEN 'MARKDOWN'
+                    WHEN 'PY'  THEN 'PYTHON'
+                    ELSE 'TXT' END AS extractor
+    FROM e
+    """,
+)
+def q56(spark, sf_dir):
+    """S2 — General-Metadata derivation (Directory.scanAndBuildStructure
+    + File fields, code/MEL/__init__.py:2140-2162, 1004-1076) gated
+    end to end: a code-files-shaped input is synthesized from table
+    columns and every derived field — sha256 doc key, abs path,
+    filename, parent, extension, byte length, MIME classification
+    (F13), extractor dispatch (J3) — is recomputed independently by
+    the oracle. Exercises known extensions (.txt/.md/.py) AND the
+    unknown-extension fallbacks."""
+    from mel_tnnt_spark.operators.metadata import with_general_metadata
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    suffix = (
+        F.when(F.col("lang") == "und", ".xyz")
+        .when(F.col("source") == "web", ".md")
+        .when(F.col("source") == "wiki", ".txt")
+        .otherwise(".py")
+    )
+    src = docs.select(
+        F.concat(F.lit("corpus-"), "source").alias("repo"),
+        F.concat(
+            F.col("lang"), F.lit("/docs/doc_"), F.col("doc_id").cast("string"), suffix
+        ).alias("path"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    return with_general_metadata(src).select(
+        "doc_id", "abs_path", "filename", "parent", "extension",
+        "file_length", "mime_type", "extractor",
+    )
+
+
+@_q(
+    "q57_f1_nfkd_ascii_fold",
+    """
+    SELECT doc_id, strip_accents('café résumé naïve ' || lang) AS folded
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q57(spark, sf_dir):
+    """F1 — the NFKD->ASCII fold (Text.__init__,
+    code/MEL/__init__.py:923-926; the function every offset in the
+    engine depends on) gated against an independent engine: on
+    accent-decomposable latin input, NFKD + drop-non-ASCII equals
+    DuckDB's strip_accents. The Spark side runs the REAL pandas-UDF
+    fold over text synthesized from table columns (byte-level unit
+    tests cover the full unicode surface; this pins the cross-engine
+    contract on the decomposable subset)."""
+    from mel_tnnt_spark.functions.text import ascii_fold_udf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    text = F.concat(F.lit("café résumé naïve "), F.col("lang"))
+    return docs.select("doc_id", ascii_fold_udf(text).alias("folded"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -46,6 +46,8 @@ HEADLINE = [
     "q53_m13_coref_chains",
     "q54_stream_first_seen_batch",
     "q55_multimodal_image_decode",
+    "q56_s2_general_metadata",
+    "q57_f1_nfkd_ascii_fold",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

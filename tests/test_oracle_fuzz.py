@@ -205,6 +205,8 @@ FUZZ_QUERIES = [
     "q53_m13_coref_chains",
     "q54_stream_first_seen_batch",
     "q55_multimodal_image_decode",
+    "q56_s2_general_metadata",
+    "q57_f1_nfkd_ascii_fold",
 ]
 
 
