@@ -1690,6 +1690,110 @@ def q57(spark, sf_dir):
     return docs.select("doc_id", ascii_fold_udf(text).alias("folded"))
 
 
+@_q(
+    "q58_s9_lang_extract",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id % 4 + 1)::BIGINT AS k,
+             CASE source WHEN 'web' THEN 'JS'
+                         WHEN 'wiki' THEN 'MARKDOWN'
+                         ELSE 'PYTHON' END AS extractor
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id, extractor,
+           k AS n_comments,
+           CASE extractor WHEN 'PYTHON' THEN 2 ELSE 1 END::BIGINT AS n_imports,
+           1::BIGINT AS n_defs,
+           CASE extractor WHEN 'PYTHON' THEN 1 ELSE 0 END::BIGINT AS n_docstrings,
+           CASE extractor WHEN 'MARKDOWN' THEN 0 ELSE 1 END::BIGINT AS n_string_literals,
+           CASE extractor WHEN 'PYTHON' THEN k + 6
+                          WHEN 'JS' THEN 4
+                          ELSE k + 1 END::BIGINT AS n_identifiers,
+           CASE extractor WHEN 'PYTHON' THEN k + 6 ELSE k + 3 END::BIGINT AS n_lines
+    FROM d
+    """,
+)
+def q58(spark, sf_dir):
+    """S9/J3 — per-language structural extraction (the source-code
+    analogue of File.extract*info, code/MEL/__init__.py:1167-2013,
+    dispatched like extract_ext_info, 2016-2022): per-row code content
+    is synthesized from a language template with doc_id-parameterized
+    repetition, the real regex extractors count comments / imports /
+    defs / docstrings / string literals / identifiers / lines, and the
+    oracle checks the closed-form expected counts — exercising all
+    three dispatch branches (PYTHON/JS/MARKDOWN) and every pattern
+    family, including the docstring-vs-string-literal interaction
+    (\"doc\" inside triple quotes counts once each way)."""
+    from mel_tnnt_spark.operators.lang_extract import with_structural_metadata
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    k = (F.col("doc_id") % 4 + 1).cast("int")
+    extractor = (
+        F.when(F.col("source") == "web", "JS")
+        .when(F.col("source") == "wiki", "MARKDOWN")
+        .otherwise("PYTHON")
+    )
+    content = (
+        F.when(
+            extractor == "PYTHON",
+            F.concat(
+                F.repeat(F.lit("# comment\n"), k),
+                F.lit("import os\nimport sys\ndef f():\n    return 1\n\"\"\"doc\"\"\"\n"),
+            ),
+        )
+        .when(
+            extractor == "JS",
+            F.concat(
+                F.repeat(F.lit("// c\n"), k),
+                F.lit("import x from 'y'\nfunction go() { return 1 }\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.repeat(F.lit("> quote\n"), k), F.lit("[a](b)\n# Title\n"))
+        )
+    )
+    src = docs.select("doc_id", extractor.alias("extractor"), content.alias("content"))
+    out = with_structural_metadata(src)
+    return out.select(
+        "doc_id", "extractor",
+        F.col("structural.n_comments").alias("n_comments"),
+        F.col("structural.n_imports").alias("n_imports"),
+        F.col("structural.n_defs").alias("n_defs"),
+        F.col("structural.n_docstrings").alias("n_docstrings"),
+        F.col("structural.n_string_literals").alias("n_string_literals"),
+        F.col("structural.n_identifiers").alias("n_identifiers"),
+        F.col("structural.n_lines").alias("n_lines"),
+    )
+
+
+@_q(
+    "q59_a14_csv_cells",
+    """
+    SELECT doc_id, u.idx::INT AS cell_index, u.cell AS cell_text
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 60) d,
+    UNNEST([
+      {'idx': 0, 'cell': 'alpha'},
+      {'idx': 1, 'cell': 'beta ' || lang},
+      {'idx': 2, 'cell': 'gamma delta'}
+    ]) AS t(u)
+    """,
+)
+def q59(spark, sf_dir):
+    """F4/A14 — the CSV path (NER.csv_preprocess,
+    code/NLP_NER/EntityRecognition.py:793-801: strip special runs,
+    newlines become commas, split on comma; per-cell results merge per
+    doc, 935-992): synthesized clean text 'alpha,beta LANG\\ngamma-delta'
+    must explode to exactly three (index, cell) rows — the hyphen run
+    collapses to a space, the newline becomes a cell boundary — all
+    reproduced literally by the oracle."""
+    from mel_tnnt_spark.operators.lang_extract import csv_cells
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    text = F.concat(F.lit("alpha,beta "), F.col("lang"), F.lit("\ngamma-delta"))
+    return csv_cells(
+        docs.select("doc_id", text.alias("clean_text")), "doc_id", "clean_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

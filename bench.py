@@ -48,6 +48,8 @@ HEADLINE = [
     "q55_multimodal_image_decode",
     "q56_s2_general_metadata",
     "q57_f1_nfkd_ascii_fold",
+    "q58_s9_lang_extract",
+    "q59_a14_csv_cells",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

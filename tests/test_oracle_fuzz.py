@@ -207,6 +207,8 @@ FUZZ_QUERIES = [
     "q55_multimodal_image_decode",
     "q56_s2_general_metadata",
     "q57_f1_nfkd_ascii_fold",
+    "q58_s9_lang_extract",
+    "q59_a14_csv_cells",
 ]
 
 
