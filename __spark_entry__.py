@@ -1794,6 +1794,53 @@ def q59(spark, sf_dir):
     )
 
 
+@_q(
+    "q60_w5_w6_mention_stage",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS doc_id,
+             upper(substr(lang, 1, 1)) || substr(lang, 2) AS lcap,
+             length(lang)::INT AS L
+      FROM documents WHERE doc_id < 60),
+    s AS (
+      SELECT *,
+             'Alice Johnson went to ' || lcap || ' City here' AS sent0
+      FROM d)
+    SELECT doc_id,
+           'token_rule_model' AS model, 'CAPSEQ' AS category,
+           u.entity, u.s::INT AS start_index, u.e::INT AS end_index,
+           u.sent AS sentence
+    FROM s, UNNEST([
+      {'entity': 'Alice Johnson',   's': 0,      'e': 13,     'sent': sent0},
+      {'entity': lcap || ' City',   's': 22,     'e': 27 + L, 'sent': sent0},
+      {'entity': 'The',             's': 34 + L, 'e': 37 + L, 'sent': ' The end'}
+    ]) AS t(u)
+    """,
+)
+def q60(spark, sf_dir):
+    """The CORE mention stage gated end to end — W5 BIO run-length
+    chunking (get_continuous_chunks, code/NLP_NER/EntityRecognition.py:
+    174-188), W6 running-offset location (text.find advancing past
+    each match, 878-887), F5 sentence context (split-on-'.' running
+    totals, 825-832), and the unified mention schema (842-847) — via
+    the token-rule model over template text synthesized from table
+    columns: 'Alice Johnson went to <Lang> City here. The end'. The
+    oracle reproduces every chunk merge ('Alice Johnson' and
+    '<Lang> City' are two-token runs), every absolute offset, and both
+    context sentences arithmetically."""
+    from mel_tnnt_spark.operators.mentions import detect_mentions
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    lcap = F.concat(
+        F.upper(F.substring("lang", 1, 1)), F.expr("substring(lang, 2)")
+    )
+    text = F.concat(
+        F.lit("Alice Johnson went to "), lcap, F.lit(" City here. The end")
+    )
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), text.alias("content"))
+    return detect_mentions(src, models=("token_rule_model",), text_col="content")
+
+
 # ---------------------------------------------------------------------------
 
 

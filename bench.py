@@ -50,6 +50,7 @@ HEADLINE = [
     "q57_f1_nfkd_ascii_fold",
     "q58_s9_lang_extract",
     "q59_a14_csv_cells",
+    "q60_w5_w6_mention_stage",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

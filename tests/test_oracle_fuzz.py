@@ -209,6 +209,7 @@ FUZZ_QUERIES = [
     "q57_f1_nfkd_ascii_fold",
     "q58_s9_lang_extract",
     "q59_a14_csv_cells",
+    "q60_w5_w6_mention_stage",
 ]
 
 
