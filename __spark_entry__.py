@@ -1841,6 +1841,96 @@ def q60(spark, sf_dir):
     return detect_mentions(src, models=("token_rule_model",), text_col="content")
 
 
+def _linking_oracle_sql() -> str:
+    """J8 oracle, generated from the SAME config the engine broadcasts
+    (ALIAS_DICT + LABEL_CLASSIFICATION) so dictionary edits can never
+    silently diverge the gate from the code."""
+    from mel_tnnt_spark.config import ALIAS_DICT, LABEL_CLASSIFICATION
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(d['alias'])}, {q(d['entity_id'])}, {q(d['canonical'])}, "
+        f"{q(d['tnnt_label'])}, {float(d['prior'])})"
+        for d in ALIAS_DICT
+    )
+    labels = ",\n      ".join(
+        [f"({q(x)})" for x in LABEL_CLASSIFICATION] + ["(NULL)"]
+    )
+    uniq = list(dict.fromkeys(d["alias"] for d in ALIAS_DICT))
+    pick = " ".join(
+        f"WHEN {i} THEN {q(a)}" for i, a in enumerate(uniq)
+    )
+    return f"""
+    WITH aliases(alias, entity_id, canonical, cand_label, prior) AS (VALUES
+      {rows}),
+    labels(label) AS (VALUES
+      {labels}),
+    scored AS (
+      SELECT a.*, l.label,
+             round(a.prior + CASE WHEN a.cand_label = l.label
+                                  THEN 0.5 ELSE 0.0 END, 6) AS score
+      FROM aliases a CROSS JOIN labels l),
+    dim AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY alias, label
+               ORDER BY score DESC, entity_id DESC, canonical DESC,
+                        cand_label DESC) AS rn
+      FROM scored),
+    m AS (
+      SELECT doc_id::VARCHAR AS doc_id,
+             'gazetteer_conll_model' AS model, 'SURFACE' AS category,
+             CASE doc_id % {len(uniq)} {pick} END AS entity,
+             0 AS start_index, 1 AS end_index,
+             CASE doc_id % 3 WHEN 0 THEN 'tnnt:Person'
+                             WHEN 1 THEN 'tnnt:Organisation' END AS tnnt_label
+      FROM documents WHERE doc_id < 60)
+    SELECT m.doc_id, m.model, m.category, m.entity,
+           m.start_index::INT AS start_index, m.end_index::INT AS end_index,
+           d.entity_id, d.canonical, d.cand_label AS linked_label, d.score
+    FROM m JOIN dim d
+      ON d.rn = 1 AND d.alias = m.entity
+     AND d.label IS NOT DISTINCT FROM m.tnnt_label
+    """
+
+
+@_q("q61_j8_entity_linking", _linking_oracle_sql())
+def q61(spark, sf_dir):
+    """J8 — candidate entity-link scoring against the broadcast alias
+    dictionary (the BASELINE-named replacement for per-row WikiData
+    SPARQL, code/MEL/DoEE_Species.py:224-274): mentions with surfaces
+    cycling through EVERY dictionary alias (incl. the ambiguous
+    'Margaret Hamilton' and 'Apache') and labels cycling Person /
+    Organisation / NULL run through link_mentions (zero-shuffle
+    pre-resolved broadcast dim); the oracle rebuilds the dictionary,
+    the scoring (prior + 0.5 label match), and the deterministic
+    struct-max tie-break from the same config."""
+    from mel_tnnt_spark.config import ALIAS_DICT
+    from mel_tnnt_spark.operators.linking import alias_dict_df, link_mentions
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    uniq = list(dict.fromkeys(d["alias"] for d in ALIAS_DICT))
+    entity = F.element_at(
+        F.array(*[F.lit(a) for a in uniq]), (F.col("doc_id") % len(uniq) + 1).cast("int")
+    )
+    label = (
+        F.when(F.col("doc_id") % 3 == 0, "tnnt:Person")
+        .when(F.col("doc_id") % 3 == 1, "tnnt:Organisation")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("gazetteer_conll_model").alias("model"),
+        F.lit("SURFACE").alias("category"),
+        entity.alias("entity"),
+        F.lit(0).cast("int").alias("start_index"),
+        F.lit(1).cast("int").alias("end_index"),
+        label.alias("tnnt_label"),
+    )
+    return link_mentions(mentions, alias_dict_df(spark))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -51,6 +51,7 @@ HEADLINE = [
     "q58_s9_lang_extract",
     "q59_a14_csv_cells",
     "q60_w5_w6_mention_stage",
+    "q61_j8_entity_linking",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -210,6 +210,7 @@ FUZZ_QUERIES = [
     "q58_s9_lang_extract",
     "q59_a14_csv_cells",
     "q60_w5_w6_mention_stage",
+    "q61_j8_entity_linking",
 ]
 
 
