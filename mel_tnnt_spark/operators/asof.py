@@ -47,10 +47,13 @@ def asof_join(
     in the latest state row is preserved (not skipped for an older
     non-null value) — matching native ASOF JOIN row semantics.
 
-    `probe_id_col` (a unique probe row id) switches to the slim path:
-    only (key, ts, tag, id) flows through the window sort, and the wide
-    probe columns are re-attached by an equi-join on the id afterward —
-    for wide probe tables this keeps the window exchange narrow."""
+    `probe_id_col` (a UNIQUE, NON-NULL probe row id) switches to the
+    slim path: only (key, ts, tag, id) flows through the window sort,
+    and the wide probe columns are re-attached by an equi-join on the
+    id afterward — for wide probe tables this keeps the window
+    exchange narrow. A NULL id would drop its asof values in the
+    rejoin; use the full-carry path (probe_id_col=None) if ids can be
+    NULL."""
     payload_struct = F.struct(*[F.col(c) for c in payload_cols])
     if seq_col is not None:
         # max_by over the struct keeps the dedup row-coherent too: all
