@@ -38,12 +38,17 @@ _BAD_CHARS = re.compile("[\x00-\x1f\x7f-\x9f\ud800-\udfff]")
 
 def py_ascii_fold(text: str) -> str:
     """F1 — reference Text.__init__ (code/MEL/__init__.py:923-926):
-    NFKD normalize then drop non-ASCII."""
-    return (
-        unicodedata.normalize("NFKD", str(text))
-        .encode("ascii", "ignore")
-        .decode("utf-8")
-    )
+    NFKD normalize then drop non-ASCII.
+
+    ASCII fast path: NFKD is the identity on ASCII and the
+    encode/decode round-trip drops nothing, so `str.isascii()` (a
+    C-level flag check) short-circuits the whole normalize+encode for
+    the dominant case in real corpora — provably byte-identical
+    (hypothesis-pinned in test_text_functions)."""
+    s = str(text)
+    if s.isascii():
+        return s
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("utf-8")
 
 
 def py_clean_text(text: str) -> str:

@@ -117,6 +117,12 @@ def merge_upsert(
     meta = _read_meta(target_path)
     if meta is not None:
         n_buckets = int(meta["n_buckets"])  # layout is fixed at creation
+        if meta.get("keys") != list(keys):
+            raise ValueError(
+                f"merge_upsert: table at {target_path} is bucketed by keys "
+                f"{meta.get('keys')}, merge called with {list(keys)} — bucket "
+                "pruning would read the wrong partitions"
+            )
 
     # Iceberg MERGE rejects a source row matching multiple times; the
     # mirror condition here is multiple change rows for one key, which

@@ -130,3 +130,40 @@ def test_clean_preprocess_series_byte_identity(spark):
     got = clean_preprocess_series(pd.Series(texts, dtype=object)).tolist()
     exp = [py_preprocess_text(py_clean_text(t)) if t is not None else "" for t in texts]
     assert got == exp
+
+
+def test_ascii_fold_fast_path_byte_identity():
+    """The isascii() short-circuit in py_ascii_fold must be
+    byte-identical to the full NFKD+encode formula on ANY input."""
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mel_tnnt_spark.functions.text import py_ascii_fold
+
+    def spec(s):
+        return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("utf-8")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=64))
+    def check(s):
+        assert py_ascii_fold(s) == spec(s)
+
+    check()
+    for s in ("", "plain ascii", "café", "naïve — ﬁ ŒÆ", "\x07bel\x00", "🎉🌍", "ﬃ ½ Ⅻ"):
+        assert py_ascii_fold(s) == spec(s)
+
+
+def test_merge_upsert_rejects_key_mismatch(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pytest as _pytest
+
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    target = str(tmp_path / "tblk")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    merge_upsert(spark, target, base, keys=("k",))
+    with _pytest.raises(ValueError, match="bucketed by keys"):
+        merge_upsert(spark, target, base, keys=("v",))
