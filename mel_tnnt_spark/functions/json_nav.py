@@ -125,7 +125,13 @@ def json_probe_paths(col, paths: list[str]):
 
     Returns the FIRST value found (the gated queries take element 1 of
     the walker's result, which for single-occurrence payloads is the
-    same value — equivalence pinned in tests)."""
+    same value — equivalence pinned in tests).
+
+    Caveat (same class as the merge twin's): get_json_object cannot
+    distinguish an explicit JSON null from an absent key, so a payload
+    holding null at an earlier probe path falls through to a later
+    path where the walker would return the null. Equivalent whenever
+    the probed paths carry no explicit nulls."""
     return F.coalesce(*[F.get_json_object(col, p) for p in paths])
 
 

@@ -68,20 +68,27 @@ def main() -> None:
         # would pick a NEW id and duplicate those triples; counting
         # recorded batches replays into the SAME partition, where the
         # dynamic overwrite makes the retry idempotent.
-        n_prev = 0
+        # max(parsed index)+1, not count: a count collides with any
+        # explicit --batch-id batch-K (K >= count) recorded earlier and
+        # would dynamically overwrite that batch with only the delta
+        next_idx = 0
         if resuming:
             from pyspark.sql import functions as F
 
             from mel_tnnt_spark.operators.lineage import read_lineage
 
-            n_prev = (
+            prev = (
                 read_lineage(spark, args.lineage)
                 .where(F.col("stage") == "kg")
-                .select("batch_id")
-                .distinct()
-                .count()
+                .select(
+                    F.regexp_extract("batch_id", r"^batch-(\d+)$", 1).alias("idx")
+                )
+                .where(F.col("idx") != "")
+                .agg(F.max(F.col("idx").cast("long")))
+                .first()[0]
             )
-        batch_id = f"batch-{n_prev}"
+            next_idx = int(prev) + 1 if prev is not None else 0
+        batch_id = f"batch-{next_idx}"
     res.triples.persist()  # consumed by count + write + metrics
     n_triples = res.triples.count()
     if n_triples:

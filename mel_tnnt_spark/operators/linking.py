@@ -26,7 +26,7 @@ from mel_tnnt_spark.config import ALIAS_DICT
 # them per pipeline invocation costs ~1-1.5 s of SERIAL driver/broadcast
 # work EACH (measured via event logs — four such single-task stages per
 # run were ~5 s of the local[8] wall clock). Materialized once per
-# SparkSession with an eager localCheckpoint, they become trivial
+# SparkSession via persist + eager count, they become trivial
 # in-memory relations for every later broadcast.
 #
 # Bounded: entries for other (stopped) applications are dropped on every
@@ -47,14 +47,16 @@ def _memo(spark: SparkSession, name: str, build) -> DataFrame:
     if key in _DIM_MEMO:
         _DIM_MEMO.move_to_end(key)
         return _DIM_MEMO[key]
-    df = build().localCheckpoint(eager=True)
+    # persist + eager count, NOT localCheckpoint: unpersist() actually
+    # releases persisted blocks at eviction time, whereas a local
+    # checkpoint's blocks are outside the cache manager and would
+    # linger until GC — the bound below must really free storage
+    df = build().persist()
+    df.count()  # materialize once; later uses (incl. broadcasts) hit the cache
     _DIM_MEMO[key] = df
     while len(_DIM_MEMO) > _DIM_MEMO_MAX:
         _, evicted = _DIM_MEMO.popitem(last=False)
-        try:  # best-effort storage release for the checkpointed blocks
-            evicted.unpersist()
-        except Exception:
-            pass
+        evicted.unpersist()
     return df
 
 

@@ -73,18 +73,32 @@ def _bucket_dirs(path: str) -> list[str]:
 
 
 def _recover(target_path: str) -> None:
-    """Repair any crash window before reading: every entry still under
-    __old whose live twin is missing is restored (the rename-away
-    happened but the staged replacement never landed). Entries whose
-    live twin exists were already promoted — drop the old copy."""
+    """Repair any crash window before reading.
+
+    - Per-bucket promote crash: a kb= entry under __old whose live twin
+      is missing is restored (the rename-away happened but the staged
+      replacement never landed); entries whose live twin exists were
+      already promoted — dropped.
+    - Whole-dir (migration) promote crash BETWEEN renames: the live dir
+      is missing entirely — restore every old entry.
+    - Whole-dir promote crash AFTER staging->live: the live dir is a
+      healthy bucketed table and __old holds the superseded FLAT
+      files; restoring those into the bucketed dir would recreate the
+      invisible-mixed-layout data-loss bug, so non-bucket entries are
+      only restored when the live table is NOT already bucketed."""
     old = target_path + _OLD_SUFFIX
     if not os.path.isdir(old):
         return
     os.makedirs(target_path, exist_ok=True)
+    live_bucketed = bool(_bucket_dirs(target_path)) or os.path.exists(
+        os.path.join(target_path, _META_FILE)
+    )
     for entry in os.listdir(old):
         live = os.path.join(target_path, entry)
         stale = os.path.join(old, entry)
-        if not os.path.exists(live):
+        if os.path.exists(live):
+            continue  # already promoted
+        if entry.startswith(f"{_BUCKET_COL}=") or not live_bucketed:
             os.rename(stale, live)
     shutil.rmtree(old, ignore_errors=True)
 
@@ -134,6 +148,25 @@ def merge_upsert(
             "dedupe the batch to one operation per key first"
         )
 
+    # Pin the changes plan: it feeds the dup check, the touched-bucket
+    # collect, AND the staged write — three actions that must see ONE
+    # consistent snapshot (a non-deterministic/mutable-source plan could
+    # otherwise stage buckets the promote loop never picked up).
+    changes = changes.persist()
+    try:
+        _merge_pinned(spark, target_path, changes, keys, op_col, n_buckets)
+    finally:
+        changes.unpersist()
+
+
+def _merge_pinned(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    op_col: str,
+    n_buckets: int,
+) -> None:
     kb = _bucket_expr(keys, n_buckets)
     upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
     existing_buckets = _bucket_dirs(target_path)
@@ -185,9 +218,43 @@ def merge_upsert(
         .partitionBy(_BUCKET_COL)
         .parquet(staging)
     )
-    _write_meta(target_path, n_buckets, keys)
-    _promote_buckets(staging, target_path, sorted(touched_bucket_ids))
+    if legacy_flat:
+        # Migration promotes the WHOLE directory in one staged swap:
+        # a per-bucket promote would leave the old flat part files at
+        # the target root — invisible to partition-discovery reads and
+        # silently LOST on a crash-mid-migration replay (the rerun
+        # would see kb= dirs, take the incremental path, and never
+        # look at the flat remainder). The whole-dir swap has the same
+        # crash discipline as the original full-snapshot promote and
+        # removes the flat layout atomically-enough.
+        _write_meta(staging, n_buckets, keys)
+        _promote_whole(staging, target_path)
+    else:
+        # promote every staged bucket PLUS every touched bucket that
+        # staged empty (all its keys deleted -> live dir must go)
+        staged_ids = {
+            int(d.split("=", 1)[1]) for d in _bucket_dirs(staging)
+        }
+        _write_meta(target_path, n_buckets, keys)
+        _promote_buckets(
+            staging, target_path, sorted(staged_ids | set(touched_bucket_ids))
+        )
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _promote_whole(staging: str, target_path: str) -> None:
+    """Full-snapshot staged swap (migration path): live -> __old,
+    staging -> live, drop __old. The only non-atomic window is between
+    the renames; _recover() restores __old entries on the next run and
+    the rerun rebuilds staging from scratch."""
+    old = target_path + _OLD_SUFFIX
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staging, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _promote_buckets(staging: str, target_path: str, bucket_ids: list[int]) -> None:

@@ -175,7 +175,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     rows = []
     for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-        raw = bytes(payload) if payload is not None else b""
+        if payload is None:  # NULL payload -> NULL features, not a crash
+            rows.append({"media_id": media_id, "width": None, "height": None, "phash": None})
+            continue
+        raw = bytes(payload)
         if fake:
             w, h, ph = _fake_decode(raw)
         else:
@@ -258,11 +261,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     """Real WAV feature extraction via one mapInPandas pass."""
     narrow = media.where(F.col("kind") == "audio").select("media_id", "payload")
 
+    null_feats = {
+        "sample_rate": None, "channels": None, "duration_s": None,
+        "rms": None, "zero_crossing_rate": None,
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in batches:
             rows = [
-                {"media_id": mid, **py_audio_features(bytes(p))}
+                {"media_id": mid,
+                 **(null_feats if p is None else py_audio_features(bytes(p)))}
                 for mid, p in zip(pdf["media_id"], pdf["payload"])
             ]
             yield pd.DataFrame(rows, columns=cols)

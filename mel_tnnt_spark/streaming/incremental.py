@@ -127,19 +127,34 @@ def stream_maintain_rollup(
     Replay protection: foreachBatch is at-least-once, and the rollup
     merge ADDS, so a re-delivered batch must be skipped, not re-merged.
     Applied batch ids are recorded as marker files next to the rollup
-    (written AFTER the merge commits). The remaining window — a crash
-    between the merge's last bucket promote and the marker write —
-    re-applies one batch; a real Iceberg MERGE commits data and
-    ancestry in one snapshot and closes it. Stream==batch equality is
-    pinned in tests/test_streaming.py."""
+    (written AFTER the merge commits), NAMESPACED BY THE QUERY ID read
+    from the checkpoint — batch ids restart at 0 for every fresh
+    checkpoint, so an un-namespaced marker would silently drop the
+    early batches of any later stream maintaining the same rollup.
+    The remaining window — a crash between the merge's last bucket
+    promote and the marker write — re-applies one batch; a real
+    Iceberg MERGE commits data and ancestry in one snapshot and closes
+    it. Stream==batch equality is pinned in tests/test_streaming.py."""
+    import hashlib
+    import json as _json
     import os
 
     from mel_tnnt_spark.operators.rollup import maintain_rollup
 
     applied_dir = rollup_path + "__applied"
 
+    def _query_ns() -> str:
+        # the checkpoint's metadata file carries the stable query id
+        # (same across restarts of this checkpoint, different for any
+        # fresh checkpoint); fall back to a path hash before it exists
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return _json.load(f)["id"]
+        except (OSError, ValueError, KeyError):
+            return hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:16]
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"batch-{batch_id}")
+        marker = os.path.join(applied_dir, f"{_query_ns()}-batch-{batch_id}")
         if os.path.exists(marker):
             return  # re-delivered batch: already merged
         maintain_rollup(

@@ -403,3 +403,22 @@ def test_real_audio_features(spark):
     )
     got = extract_audio_features(media).collect()[0]
     assert got["sample_rate"] == 8000 and abs(got["rms"] - 1000.0) < 1e-9
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    """A NULL payload (nullable in MEDIA_SCHEMA) must produce a NULL
+    feature row in BOTH real media kernels, never a task crash."""
+    from mel_tnnt_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    media = spark.createDataFrame(
+        [("i0", "image", "image/bmp", None), ("a0", "audio", "audio/wav", None)],
+        MEDIA_SCHEMA,
+    )
+    img = extract_image_features(media).collect()
+    assert len(img) == 1 and img[0]["width"] is None and img[0]["phash"] is None
+    aud = extract_audio_features(media).collect()
+    assert len(aud) == 1 and aud[0]["rms"] is None and aud[0]["sample_rate"] is None

@@ -374,3 +374,54 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(changed_dirs) == 1, f"rewrote {changed_dirs}, expected exactly one bucket"
     got = {r["k"]: r["v"] for r in read_merged(spark, target).collect()}
     assert got[3] == "V3" and got[5] == "v5" and len(got) == 64
+
+
+def test_merge_upsert_legacy_migration_crash_replay(spark, tmp_path):
+    """The confirmed round-3 review bug: migrating a legacy FLAT table
+    must never leave flat part files invisible next to kb= dirs. The
+    whole-dir staged swap guarantees every crash window replays to the
+    full table: (b) crash between the two renames -> flat table is
+    restored and migration reruns; (c) crash after staging promoted ->
+    the superseded flat files under __old are dropped, NOT restored
+    into the bucketed dir."""
+    import os
+    import shutil
+
+    from mel_tnnt_spark.operators import merge_sink
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert, read_merged
+
+    # legacy flat table, 12 rows (simulating a round-2 layout)
+    target = str(tmp_path / "legacy")
+    rows = [(i, f"v{i}") for i in range(12)]
+    spark.createDataFrame(rows, "k int, v string").coalesce(1).write.parquet(target)
+
+    # crash window (b): live renamed away, staged bucketed dir exists
+    ch = spark.createDataFrame([(3, "V3", "upsert")], "k int, v string, op string")
+    os.rename(target, target + merge_sink._OLD_SUFFIX)
+    os.makedirs(target + merge_sink._STAGING_SUFFIX, exist_ok=True)
+
+    merge_upsert(spark, target, ch, keys=("k",), n_buckets=4)
+    got = {r["k"]: r["v"] for r in read_merged(spark, target).collect()}
+    assert len(got) == 12 and got[3] == "V3" and got[11] == "v11"
+    assert len([d for d in os.listdir(target) if d.startswith("kb=")]) > 1
+    # no flat part files left beside the bucket dirs
+    assert not [
+        f for f in os.listdir(target)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(target, f))
+    ]
+
+    # crash window (c): healthy bucketed table + stale flat __old
+    stale = target + merge_sink._OLD_SUFFIX
+    os.makedirs(stale)
+    spark.createDataFrame([(99, "GHOST")], "k int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stale + "/tmpflat")
+    for f in os.listdir(stale + "/tmpflat"):
+        shutil.move(os.path.join(stale, "tmpflat", f), os.path.join(stale, f))
+    shutil.rmtree(stale + "/tmpflat")
+
+    ch2 = spark.createDataFrame([(5, "V5", "upsert")], "k int, v string, op string")
+    merge_upsert(spark, target, ch2, keys=("k",))
+    got2 = {r["k"]: r["v"] for r in read_merged(spark, target).collect()}
+    assert 99 not in got2 and got2[5] == "V5" and len(got2) == 12
+    assert not os.path.exists(stale)
