@@ -425,3 +425,107 @@ def test_merge_upsert_legacy_migration_crash_replay(spark, tmp_path):
     got2 = {r["k"]: r["v"] for r in read_merged(spark, target).collect()}
     assert 99 not in got2 and got2[5] == "V5" and len(got2) == 12
     assert not os.path.exists(stale)
+
+
+# ---------------------------------------------------------------------------
+# XLSX associated-metadata source
+# ---------------------------------------------------------------------------
+
+def _xlsx_bytes(rows, shared_strings=True):
+    """Minimal OOXML writer (test-side, independent of the reader):
+    strings via the shared table or inline, numbers as numeric cells."""
+    import io as _io
+    import zipfile as _zip
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared, sref = [], {}
+    cells_xml = []
+    for ri, row in enumerate(rows, start=1):
+        cs = []
+        for ci, v in enumerate(row):
+            if v is None:
+                continue
+            ref = chr(ord("A") + ci) + str(ri)
+            if isinstance(v, str):
+                if shared_strings:
+                    if v not in sref:
+                        sref[v] = len(shared)
+                        shared.append(v)
+                    cs.append(f'<c r="{ref}" t="s"><v>{sref[v]}</v></c>')
+                else:
+                    cs.append(f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+            else:
+                cs.append(f'<c r="{ref}"><v>{v}</v></c>')
+        cells_xml.append(f'<row r="{ri}">{"".join(cs)}</row>')
+    sheet = f'<worksheet {ns}><sheetData>{"".join(cells_xml)}</sheetData></worksheet>'
+    sst = (
+        f'<sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", f"<workbook {ns}/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if shared_strings and shared:
+            z.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_xlsx_reader_real_parse(spark, shared):
+    """The pure-python OOXML reader: shared-string AND inline-string
+    cell types, numeric cells, absent cells padded to None, header ->
+    typed dim with the reference's str/int/float casts."""
+    from mel_tnnt_spark.sources.xlsx_io import py_read_xlsx, read_xlsx_dim
+
+    rows = [
+        ["species_id", "sci_name", "status", "weight"],
+        [7, "Acacia dealbata", "LC", 1.5],
+        [12, "Wollemia nobilis", "CR", None],
+        [15, "Petaurus gliderus", None, 0.25],
+    ]
+    payload = _xlsx_bytes(rows, shared_strings=shared)
+    raw = py_read_xlsx(payload)
+    assert raw[0] == ["species_id", "sci_name", "status", "weight"]
+    assert raw[1][1] == "Acacia dealbata" and raw[2][2] == "CR"
+    assert raw[2][3] is None  # absent cell padded
+
+    dim = read_xlsx_dim(
+        spark, payload, types={"species_id": "int", "weight": "float"}
+    )
+    got = {r["species_id"]: r for r in dim.collect()}
+    assert dim.schema["species_id"].dataType.typeName() == "long"
+    assert dim.schema["weight"].dataType.typeName() == "double"
+    assert got[7]["sci_name"] == "Acacia dealbata" and got[15]["weight"] == 0.25
+
+
+def test_xlsx_dim_feeds_lookup_join(spark):
+    """End-to-end J1/J2 over the reference's REAL source format: the
+    XLSX dim broadcast-joins files by primary id with a fallback key,
+    exactly the AssociatedMetadata flow."""
+    from mel_tnnt_spark.operators.linking import lookup_with_fallback
+    from mel_tnnt_spark.sources.xlsx_io import read_xlsx_dim
+
+    payload = _xlsx_bytes(
+        [
+            ["file_id", "fname", "species"],
+            [1, "a.txt", "Acacia"],
+            [2, "b.txt", "Wollemia"],
+        ]
+    )
+    dim = read_xlsx_dim(spark, payload, types={"file_id": "int"})
+    probe = spark.createDataFrame(
+        [(1, "zzz.txt"), (99, "b.txt"), (50, "none.txt")], "file_id int, fname string"
+    )
+    got = {
+        r["file_id"]: (r["species"], r["match_type"])
+        for r in lookup_with_fallback(
+            probe, dim, primary_key="file_id", fallback_key="fname",
+            payload_cols=["species"],
+        ).collect()
+    }
+    assert got[1] == ("Acacia", "primary")
+    assert got[99] == ("Wollemia", "fallback")
+    assert got[50] == (None, None)  # miss -> NULL match_type (contract)
