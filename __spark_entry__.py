@@ -1931,6 +1931,188 @@ def q61(spark, sf_dir):
     return link_mentions(mentions, alias_dict_df(spark))
 
 
+
+
+@_q(
+    "q62_dd_simhash_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, t, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE doc_id < 120)
+      WHERE t <> '' GROUP BY doc_id, t),
+    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b, sum(cnt * (((h >> b) & 1) * 2 - 1)) AS s
+      FROM h, range(16) r(b) GROUP BY doc_id, b),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q62(spark, sf_dir):
+    """SimHash near-dup PAIR generation — the dedup decision stage on
+    top of the q20 signatures. Spark side is the banded pigeonhole
+    equi-join (max_hamming+1 bands; recall exactly 1.0, no LSH miss
+    probability) + exact popcount filter; the oracle recomputes the
+    16-bit signatures from scratch and takes the honest O(n^2)
+    all-pairs popcount, which the banded plan must reproduce exactly.
+    """
+    from mel_tnnt_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return simhash_pairs(docs, "doc_id", "text", bits=16, max_hamming=3)
+
+
+@_q(
+    "q63_f17_summary_filters",
+    """
+    WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id < 80),
+    e AS (
+      SELECT doc_id, u.entity FROM d, UNNEST([
+        {'entity': 'Alice Johnson'},
+        {'entity': lang || '-' || (doc_id % 100)::VARCHAR},
+        {'entity': (doc_id % 1000)::VARCHAR},
+        {'entity': 'www.' || lang || '.org/p#' || (doc_id % 10)::VARCHAR},
+        {'entity': '... !?'},
+        {'entity': lang}
+      ]) AS t(u))
+    SELECT doc_id, entity,
+           regexp_matches(entity, '[0-9]') AS has_digit,
+           NOT regexp_matches(entity, '[^0-9[:punct:] ]') AS only_num,
+           NOT regexp_matches(entity, '[^A-Za-z[:punct:] ]') AS only_alpha,
+           regexp_matches(entity,
+             '((http|https)\\:\\/\\/)?[a-zA-Z0-9\\.\\/\\?\\:@\\-_=#]+\\.([a-zA-Z]){2,6}([a-zA-Z0-9\\.\\&\\/\\?\\:@\\-_=#])*'
+           ) AS is_url
+    FROM e
+    """,
+)
+def q63(spark, sf_dir):
+    """F17 — the four aggregated-summary entity filters
+    (filter_summary.py:9-57: contains-digit, only-numeric,
+    only-alphabetic, website) as single-projection JVM predicates over
+    entity surfaces synthesized from table columns to hit every branch
+    — including the reference quirk that a punctuation-only surface
+    ('... !?') passes BOTH only_num and only_alpha (all([]) is True),
+    and that is_url is an unanchored search (bare 'www.en.org/...'
+    hits without a scheme)."""
+    from mel_tnnt_spark.operators.summaries import summary_filters
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    surfaces = F.array(
+        F.lit("Alice Johnson"),
+        F.concat(F.col("lang"), F.lit("-"), (F.col("doc_id") % 100).cast("string")),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.concat(
+            F.lit("www."), F.col("lang"), F.lit(".org/p#"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+        F.lit("... !?"),
+        F.col("lang"),
+    )
+    ents = docs.select("doc_id", F.explode(surfaces).alias("entity"))
+    return summary_filters(ents, "entity")
+
+
+@_q(
+    "q64_multimodal_audio_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             [((doc_id * 131 +    7) % 2048) - 1024,
+              ((doc_id * 131 +  464) % 2048) - 1024,
+              ((doc_id * 131 +  921) % 2048) - 1024,
+              ((doc_id * 131 + 1378) % 2048) - 1024] AS s
+      FROM documents WHERE doc_id < 40),
+    m AS (
+      SELECT doc_id, s,
+             sqrt((s[1]*s[1] + s[2]*s[2] + s[3]*s[3] + s[4]*s[4]) / 4.0) AS rms,
+             (CASE WHEN (s[1] < 0) <> (s[2] < 0) THEN 1 ELSE 0 END
+            + CASE WHEN (s[2] < 0) <> (s[3] < 0) THEN 1 ELSE 0 END
+            + CASE WHEN (s[3] < 0) <> (s[4] < 0) THEN 1 ELSE 0 END) / 3.0 AS zcr
+      FROM d)
+    SELECT doc_id::VARCHAR AS media_id, 8000::INT AS sample_rate, 1::INT AS channels,
+           round(4.0 / 8000.0, 6) AS duration_s,
+           round(rms, 6) AS rms,
+           round(zcr, 6) AS zero_crossing_rate
+    FROM m
+    """,
+)
+def q64(spark, sf_dir):
+    """Multimodal audio decode with the REAL kernel (stdlib `wave` +
+    numpy over 16-bit PCM): a 4-sample mono 8 kHz WAV is synthesized
+    per row JVM-side (constant 44-byte RIFF header + little-endian
+    samples s_i = ((doc_id*131 + 7 + i*457) % 2048) - 1024, bytes via
+    hex/unhex), decoded by py_audio_features inside mapInPandas, and
+    RMS / zero-crossing-rate / duration are checked against the
+    oracle's closed-form arithmetic on the same sample values."""
+    from mel_tnnt_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    header = F.unhex(F.lit(
+        "52494646"  # RIFF
+        "2C000000"  # chunk size 44
+        "57415645"  # WAVE
+        "666D7420" "10000000" "0100" "0100"  # fmt, 16, PCM, mono
+        "401F0000" "803E0000" "0200" "1000"  # 8000 Hz, 16000 B/s, align 2, 16-bit
+        "64617461" "08000000"  # data, 8 bytes
+    ))
+    sample_bytes = []
+    for i in range(4):
+        s = (F.col("doc_id") * 131 + 7 + i * 457) % 2048 - 1024
+        u = s.bitwiseAND(F.lit(0xFFFF))  # two's-complement uint16
+        h = F.lpad(F.hex(u), 4, "0")
+        sample_bytes.append(F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.concat(header, *sample_bytes).alias("payload"),
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "channels",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
+@_q(
+    "q65_multimodal_frame_sample",
+    """
+    SELECT doc_id::VARCHAR AS media_id, t.f::INT AS frame_idx
+    FROM (SELECT doc_id, ((doc_id % 7) + 1) * 1500 AS L
+          FROM documents WHERE doc_id < 80) d,
+    UNNEST(generate_series(0, CAST(floor(L / 1024.0) AS INT), 2)) AS t(f)
+    """,
+)
+def q65(spark, sf_dir):
+    """Multimodal video frame-sampling PLAN (every-Nth-frame): the
+    JVM-side explode that turns one video row into its (media_id,
+    frame_idx) decode work-list — even-width rows for the downstream
+    decode stage (the codec kernel itself stays honestly stubbed; this
+    gates the Spark-side plumbing: frame count from payload size,
+    stride arithmetic, explode shape). Payload is a synthesized blob of
+    (doc_id%7+1)*1500 bytes, so n_frames = len/1024 + 1 spans 2..11
+    and the stride-2 sequence is closed-form in the oracle."""
+    from mel_tnnt_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    payload = F.repeat(F.lit("x"), ((F.col("doc_id") % 7) + 1).cast("int") * 1500)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/x-raw").alias("mime"),
+        payload.cast("binary").alias("payload"),
+    )
+    return frame_sample_plan(media, every_n=2)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -302,3 +302,57 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS: (id_a, id_b, hamming) for every
+    pair whose signatures differ in <= max_hamming bits — the pair
+    stage that turns the per-doc signature (simhash(), gated q20) into
+    a dedup decision.
+
+    Scale shape: banded equi-join, never all-pairs. The signature is
+    split into max_hamming+1 contiguous bit-bands; by pigeonhole, two
+    signatures within Hamming distance max_hamming agree EXACTLY on at
+    least one band, so candidate generation is one self-equi-join on
+    (band_idx, band_value) with recall 1.0 (no probabilistic miss,
+    unlike MinHash-LSH banding). Exact popcount(xor) then filters
+    candidates, and multi-band collisions are deduplicated after the
+    filter when only the id pair + distance survive. Shuffle volume is
+    (max_hamming+1) x |docs| band rows, never |docs|^2.
+
+    Reference analogue: the duplicate-document scan
+    (code/MEL/__init__.py:684-709) is exact-equality O(n^2); this is
+    its near-dup generalization at the same asymptotic cost as q35."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
+    sig = simhash(df, id_col, text_col, bits=bits)
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil; last band may be narrower
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
+                F.lit((1 << min(width, bits - bi * width)) - 1)
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = sig.select("id", "simhash", F.posexplode(band_vals).alias("band", "bval"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bval"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    return cand.where(F.col("hamming") <= max_hamming).distinct()

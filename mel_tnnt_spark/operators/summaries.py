@@ -135,3 +135,44 @@ def descriptive_stats(fine_summary: DataFrame, key: str = "entity") -> DataFrame
         F.count("*").alias("n_groups"),
     )
     return base.join(modes, key)
+
+
+# F17 — summary filters (entity-surface classification).
+# Reference: code/NLP_NER_API/analysis/filter_summary.py:9-57 — four
+# filters over aggregated-summary entity keys: contains-a-digit,
+# only-numeric, only-alphabetic, looks-like-a-website. Two reference
+# quirks preserved exactly:
+#   * only_num / only_alpha ignore punctuation and spaces, and an
+#     entity made ONLY of punctuation/spaces passes both (all([]) is
+#     True in the reference's list comprehension);
+#   * is_url is an unanchored SEARCH with an optional scheme prefix,
+#     so any token containing "x.yz" (2-6 letter TLD-ish tail) hits.
+# All four are single JVM-side rlike predicates — no UDF, no shuffle.
+_URL_RE = (
+    r"((http|https)\:\/\/)?[a-zA-Z0-9\.\/\?\:@\-_=#]+"
+    r"\.([a-zA-Z]){2,6}([a-zA-Z0-9\.\&\/\?\:@\-_=#])*"
+)
+
+
+def summary_filters(df: DataFrame, entity_col: str = "entity") -> DataFrame:
+    """Classify each entity surface with the reference's four filter
+    predicates as boolean columns (relational form: one projection,
+    callers filter on the flag they want — filternum/filterOnlyNum/
+    filterOnlyString/filterwebsite each correspond to one column).
+
+    Divergence note: the reference uses Python's Unicode-aware
+    str.isdigit/isalpha; these predicates use ASCII classes, identical
+    on the reference's English corpora and on the gated tables. For a
+    Unicode-faithful variant, swap [0-9]->\\p{Nd} and
+    [A-Za-z]->\\p{L} (Java regex supports both JVM-side)."""
+    e = F.col(entity_col)
+    return df.withColumns(
+        {
+            # \p{Punct} (Java) == string.punctuation == [[:punct:]] (RE2):
+            # the same 32 ASCII chars — parity pinned in the q63 oracle.
+            "has_digit": e.rlike("[0-9]"),
+            "only_num": ~e.rlike(r"[^0-9\p{Punct} ]"),
+            "only_alpha": ~e.rlike(r"[^A-Za-z\p{Punct} ]"),
+            "is_url": e.rlike(_URL_RE),
+        }
+    )

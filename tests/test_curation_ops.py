@@ -422,3 +422,72 @@ def test_multimodal_null_payload_yields_null_features(spark):
     assert len(img) == 1 and img[0]["width"] is None and img[0]["phash"] is None
     aud = extract_audio_features(media).collect()
     assert len(aud) == 1 and aud[0]["rms"] is None and aud[0]["sample_rate"] is None
+
+
+def test_simhash_pairs_match_bruteforce(docs):
+    """The banded pigeonhole plan must equal the O(n^2) popcount scan
+    exactly (recall 1.0 — unlike MinHash-LSH there is no miss
+    probability), at several max_hamming settings including 0
+    (= signature-equality dedup)."""
+    from mel_tnnt_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=16).collect()}
+    ids = sorted(sigs)
+    for k in (0, 2, 5):
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, "id", "text", bits=16, max_hamming=k).collect()
+        }
+        assert got == want, f"max_hamming={k}"
+    assert (1, 2, 0) in got  # the exact-dup pair always survives
+
+
+def test_simhash_pairs_validates_args(docs):
+    from mel_tnnt_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "id", "text", bits=16, max_hamming=16)
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "id", "text", bits=16, max_hamming=-1)
+
+
+def test_summary_filters_reference_quirks(spark):
+    """F17 flags vs the reference's own predicate semantics
+    (filter_summary.py:9-57), including the all([])-is-True quirk for
+    punctuation/space-only surfaces and the unanchored website search."""
+    surfaces = [
+        "Alice Johnson",   # only_alpha
+        "12345",           # has_digit + only_num
+        "3.14",            # has_digit + only_num (dot is punctuation)
+        "... !?",          # only_num AND only_alpha (the all([]) quirk)
+        "",                # likewise — empty surface passes both
+        "ACME-2000",       # has_digit only
+        "example.com/x",   # is_url without scheme
+        "http://a.bc",     # is_url with scheme
+        "see example.org today",  # unanchored search hits mid-string
+        "a.toolongtld",    # TLD > 6 letters: still matches a 2-6 prefix
+        "no url here",     # none
+    ]
+    from mel_tnnt_spark.operators.summaries import summary_filters
+
+    df = spark.createDataFrame([(s,) for s in surfaces], "entity string")
+    got = {r["entity"]: r for r in summary_filters(df).collect()}
+
+    import re
+    from string import punctuation
+
+    url_re = re.compile(
+        r"((http|https)\:\/\/)?[a-zA-Z0-9\.\/\?\:@\-_=#]+\.([a-zA-Z]){2,6}([a-zA-Z0-9\.\&\/\?\:@\-_=#])*"
+    )
+    for s in surfaces:
+        body = [c for c in s if c not in punctuation and c != " "]
+        assert got[s]["has_digit"] == any(c.isdigit() for c in s), s
+        assert got[s]["only_num"] == all(c.isdigit() for c in body), s
+        assert got[s]["only_alpha"] == all(c.isalpha() for c in body), s
+        assert got[s]["is_url"] == bool(url_re.search(s)), s

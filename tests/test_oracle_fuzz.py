@@ -211,6 +211,10 @@ FUZZ_QUERIES = [
     "q59_a14_csv_cells",
     "q60_w5_w6_mention_stage",
     "q61_j8_entity_linking",
+    "q62_dd_simhash_pairs",
+    "q63_f17_summary_filters",
+    "q64_multimodal_audio_decode",
+    "q65_multimodal_frame_sample",
 ]
 
 

@@ -98,6 +98,7 @@ def test_pair_generators_have_no_cartesian(spark):
         "q18_dd_ngram_jaccard_pairs",
         "q28_cc_embedding_graph",
         "q35_dd_lsh_pairs",
+        "q62_dd_simhash_pairs",
     ):
         df = e.queries()[name](spark, SF)
         assert plan_flags(df)["cartesian"] == 0, f"{name} plans an all-pairs join"
