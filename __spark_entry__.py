@@ -2113,6 +2113,120 @@ def q65(spark, sf_dir):
     return frame_sample_plan(media, every_n=2)
 
 
+
+
+@_q(
+    "q66_a6_aggregated_summary",
+    """
+    WITH d AS (SELECT doc_id, lang, 'Alice ' || lang AS e1
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id::VARCHAR AS doc_id, e1 AS entity,
+           'model_a:LOC:1;model_a:PER:' ||
+             CASE WHEN doc_id % 2 = 0 THEN '2' ELSE '1' END ||
+             ';model_b:PERSON:1' AS by_model,
+           (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END)::BIGINT AS total
+    FROM d
+    UNION ALL
+    SELECT doc_id::VARCHAR, lang, 'model_b:GPE:1', 1::BIGINT FROM d
+    """,
+)
+def q66(spark, sf_dir):
+    """A6 — cross-model aggregated summary (update_aggregation,
+    code/NLP_NER_API/analysis/aggregation.py:298-325: per (doc, entity)
+    the {model, category, count} list plus running total). The nested
+    collect_list is serialized deterministically for the gate
+    (array_sort then join), and the synthesized mention stream includes
+    a per-parity duplicate so the count branch (cnt=2) is exercised —
+    the oracle reproduces list content, order, and totals
+    arithmetically."""
+    from mel_tnnt_spark.operators.summaries import aggregated_summary
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    e1 = F.concat(F.lit("Alice "), F.col("lang"))
+
+    def m(model, cat, ent):
+        return F.struct(
+            F.lit(model).alias("model"), F.lit(cat).alias("category"), ent.alias("entity")
+        )
+
+    base = F.array(
+        m("model_a", "PER", e1),
+        m("model_a", "LOC", e1),
+        m("model_b", "PERSON", e1),
+        m("model_b", "GPE", F.col("lang")),
+    )
+    dup = F.when(F.col("doc_id") % 2 == 0, F.array(m("model_a", "PER", e1))).otherwise(
+        F.array().cast("array<struct<model:string,category:string,entity:string>>")
+    )
+    mentions = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.explode(F.concat(base, dup)).alias("x"),
+        )
+        .select("doc_id", "x.model", "x.category", "x.entity")
+    )
+    agg = aggregated_summary(mentions)
+    serialized = F.array_join(
+        F.transform(
+            F.array_sort("by_model"),
+            lambda s: F.concat_ws(":", s["model"], s["category"], s["cnt"].cast("string")),
+        ),
+        ";",
+    )
+    return agg.select("doc_id", "entity", serialized.alias("by_model"), "total")
+
+
+@_q(
+    "q67_m14_archive_members",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, 'tar' AS container, 0::INT AS member_index,
+           'member_' || (doc_id % 7)::VARCHAR || '.txt' AS member_path,
+           rpad('doc ' || doc_id::VARCHAR, 32, ' ') AS member_text
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def q67(spark, sf_dir):
+    """M14 — archive member expansion (ner_for_all_files doc-i
+    convention, code/NLP_NER/EntityRecognition.py:1055-1093) gated on
+    REAL tar payloads: a one-member USTAR archive is synthesized per
+    row JVM-side (seven checksum-bearing 512-byte headers precomputed
+    at plan build via stdlib tarfile, member content rpad-padded to the
+    declared 32 bytes, zero-block tail), sniffed by magic bytes and
+    exploded by the stdlib tarfile reader inside mapInPandas; the
+    oracle reconstructs every member row arithmetically."""
+    import io
+    import tarfile
+
+    from mel_tnnt_spark.sources.archives import explode_archive_members
+
+    hdrs = []
+    for k in range(7):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            info = tarfile.TarInfo(f"member_{k}.txt")
+            info.size, info.mtime = 32, 0
+            tf.addfile(info, io.BytesIO(b" " * 32))
+        hdrs.append(buf.getvalue()[:512].hex())
+    tail_hex = "00" * (480 + 1024)  # content-block padding + end-of-archive
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in hdrs]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    content = F.rpad(
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")), 32, " "
+    ).cast("binary")
+    payload = F.concat(F.unhex(hdr), content, F.unhex(F.lit(tail_hex)))
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), payload.alias("payload")
+    )
+    out = explode_archive_members(src)
+    return out.select(
+        "doc_id", "container", "member_index", "member_path",
+        F.col("member_content").cast("string").alias("member_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

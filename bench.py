@@ -52,6 +52,12 @@ HEADLINE = [
     "q59_a14_csv_cells",
     "q60_w5_w6_mention_stage",
     "q61_j8_entity_linking",
+    "q62_dd_simhash_pairs",
+    "q63_f17_summary_filters",
+    "q64_multimodal_audio_decode",
+    "q65_multimodal_frame_sample",
+    "q66_a6_aggregated_summary",
+    "q67_m14_archive_members",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

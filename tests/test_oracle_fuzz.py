@@ -215,6 +215,8 @@ FUZZ_QUERIES = [
     "q63_f17_summary_filters",
     "q64_multimodal_audio_decode",
     "q65_multimodal_frame_sample",
+    "q66_a6_aggregated_summary",
+    "q67_m14_archive_members",
 ]
 
 
