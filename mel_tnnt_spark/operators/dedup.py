@@ -118,22 +118,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def _h_col(c):
+    # Column twin of _h: portable md5-60bit hash
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_array(text_col: str, n: int):
+    """Word n-gram shingles as a per-row ARRAY (no explode): the HOF
+    twin of shingles(). Duplicates are kept — min() is insensitive to
+    them, so MinHash needs no distinct pass at all."""
+    w = F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_sig_array(k: int):
+    """k-seed signature array over the `_sh` shingle-array column:
+    sig_i = array_min(h(shingle || '#' || i)) — one per-row fold, all
+    JVM higher-order functions, whole-stage codegen."""
+
+    def seed_min(i: int):
+        # single-arg lambda only: a two-parameter lambda would make
+        # F.transform pass (element, index) and rebind the seed
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: _h_col(F.concat(s, suffix)))
+        )
+
+    return F.array(*[seed_min(i) for i in range(k)])
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
     """MinHash: sig_i(doc) = min over shingles of h(shingle || '#' || i).
     Long form (id, seed, minhash) — k rows per doc; the band/bucket
-    stage regroups. h is the portable md5-60bit hash."""
-    sh = shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    exploded = sh.select("id", "shingle", seeds)
+    stage regroups. h is the portable md5-60bit hash.
+
+    ZERO shuffles: the signature is a per-row fold over the shingle
+    array (the earlier formulation exploded |shingles| x k rows through
+    a groupBy(id, seed) shuffle — at production k=16 that is x16 the
+    shingle stream through the wire; this plan moves only k longs per
+    doc, and only because the long-form CONTRACT asks for rows —
+    minhash_lsh_pairs skips even that and banding happens on the
+    array). Docs with no shingles produce no row (parity with the
+    explode formulation)."""
     return (
-        exploded.withColumn(
-            "h",
-            F.expr(_h("concat(shingle, '#', cast(seed as string))")),
-        )
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        df.select(F.col(id_col).alias("id"), _shingle_array(text_col, n).alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select("id", F.posexplode(_minhash_sig_array(k)).alias("seed", "minhash"))
+        .select("id", F.col("seed").cast("int").alias("seed"), "minhash")
     )
 
 
@@ -150,16 +189,33 @@ def minhash_lsh_pairs(
     docs sharing any band bucket become candidates. Returns distinct
     candidate pairs (verify with ngram_jaccard_pairs or exact check)."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # band buckets straight off the per-row signature ARRAY — zero
+    # shuffles before the candidate equi-join (the earlier formulation
+    # paid the exploded-signature shuffle PLUS a collect_list regroup;
+    # bucket strings are byte-identical: minhashes in seed order)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                            lambda m: m.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
     banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
-        .withColumn(
-            "bucket",
-            F.md5(F.array_join(F.transform("sig", lambda s: s["minhash"].cast("string")), ",")),
-        )
-        .select("id", "band", "bucket")
+        df.select(F.col(id_col).alias("id"), _shingle_array(text_col, n).alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select("id", _minhash_sig_array(k).alias("_sig"))
+        .select("id", F.explode(band_structs).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     return (
         banded.alias("a")
