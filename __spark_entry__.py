@@ -2227,6 +2227,48 @@ def q67(spark, sf_dir):
     )
 
 
+
+
+@_q(
+    "q68_cc_incremental_maintenance",
+    """
+    SELECT doc_id::BIGINT AS node, ((doc_id // 4) * 4)::BIGINT AS component
+    FROM documents WHERE doc_id < 120
+    UNION ALL
+    SELECT (200 + doc_id)::BIGINT, (4 * doc_id)::BIGINT
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q68(spark, sf_dir):
+    """Incremental connected-components maintenance (north-star CC at
+    batch cadence): labels from a first edge batch (pairs 2i—2i+1) are
+    folded with a second batch that merges neighbouring pairs into
+    quads (4i+1—4i+2) and attaches ten brand-new nodes (200+i — 4i),
+    WITHOUT recomputing the global graph — batch endpoints contract to
+    their current components, CC runs on the batch-sized contraction,
+    and a broadcast remap updates the label table. The oracle states
+    the resulting labeling in closed form: node n < 120 lands in
+    component 4*(n//4); new node 200+i attaches to component 4i."""
+    from mel_tnnt_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    first = docs.where(F.col("doc_id") < 60).select(
+        (i * 2).alias("src"), (i * 2 + 1).alias("dst")
+    )
+    merges = docs.where(F.col("doc_id") < 30).select(
+        (i * 4 + 1).alias("src"), (i * 4 + 2).alias("dst")
+    )
+    attach = docs.where(F.col("doc_id") < 10).select(
+        (i + 200).alias("src"), (i * 4).alias("dst")
+    )
+    labels = connected_components(first)
+    return incremental_components(labels, merges.unionByName(attach))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "q65_multimodal_frame_sample",
     "q66_a6_aggregated_summary",
     "q67_m14_archive_members",
+    "q68_cc_incremental_maintenance",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -176,3 +176,73 @@ def canonical_entities(linked: DataFrame, ent_dim: DataFrame | None = None) -> D
     return nodes.join(cc, nodes["entity_id"] == cc["node"], "left").select(
         "entity_id", F.coalesce("component", F.col("entity_id")).alias("canonical_id")
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Incremental CC maintenance: fold a BATCH of new edges into an
+    existing (node, component) labeling without recomputing the global
+    graph — the result equals connected_components(all edges so far)
+    exactly (min-label contract preserved; test-pinned equivalence).
+
+    Why it works: the label table is a contraction certificate — every
+    old component is one supernode named by its min member. New edges
+    can only (a) merge supernodes or (b) attach brand-new nodes, so:
+      1. map each batch endpoint to its current component (unlabeled
+         endpoints are their own supernode; an unlabeled id can never
+         collide with an old label, because every label is itself a
+         labeled member);
+      2. run CC on the CONTRACTED graph — bounded by the batch size,
+         never the table (self-loops kept so isolated new nodes get
+         labels);
+      3. remap: old component -> new root, applied to the label table.
+
+    100-TB shape: steps 1 and 3 are broadcast joins (the batch and the
+    remap are batch-bounded; the big label table is never shuffled),
+    step 2 is CC on a batch-sized graph (usually the driver union-find
+    fast path). Per-batch cost is O(|batch| + |labels| scan) instead of
+    O(|graph| x diameter) — pair with merge_upsert on the changed rows
+    only for O(touched) persistence."""
+    lab = labels.select(F.col(node_col).alias("_n"), F.col(comp_col).alias("_c"))
+    e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+
+    mapped = (
+        F.broadcast(e)
+        .join(lab.withColumnRenamed("_n", "s").withColumnRenamed("_c", "cs"), "s", "left")
+        .join(lab.withColumnRenamed("_n", "d").withColumnRenamed("_c", "cd"), "d", "left")
+        .select(
+            F.coalesce("cs", F.col("s")).alias("a"),
+            F.coalesce("cd", F.col("d")).alias("b"),
+        )
+    )
+    # CC over the contracted graph (self-loops kept: isolated new nodes
+    # and intra-component batch edges still yield a node row)
+    contracted = connected_components(mapped, "a", "b")
+
+    remap = contracted.select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    updated = (
+        labels.join(F.broadcast(remap), labels[comp_col] == remap["_old"], "left")
+        .select(
+            F.col(node_col),
+            F.coalesce("_new", F.col(comp_col)).alias(comp_col),
+        )
+    )
+    # brand-new nodes: batch endpoints absent from the label table take
+    # their contracted-graph label directly
+    endpoints = e.select(F.col("s").alias(node_col)).union(
+        e.select(F.col("d").alias(node_col))
+    ).distinct()
+    new_nodes = (
+        endpoints.join(lab, endpoints[node_col] == lab["_n"], "left_anti")
+        .join(remap, endpoints[node_col] == remap["_old"], "left")
+        .select(F.col(node_col), F.coalesce("_new", F.col(node_col)).alias(comp_col))
+    )
+    return updated.unionByName(new_nodes)

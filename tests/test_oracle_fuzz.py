@@ -217,6 +217,7 @@ FUZZ_QUERIES = [
     "q65_multimodal_frame_sample",
     "q66_a6_aggregated_summary",
     "q67_m14_archive_members",
+    "q68_cc_incremental_maintenance",
 ]
 
 

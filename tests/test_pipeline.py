@@ -333,3 +333,36 @@ def test_connected_components_basic(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert got_dist == expect
+
+
+def test_incremental_components_equals_from_scratch(spark):
+    """Folding edge batches into an existing labeling must equal the
+    from-scratch CC over all edges seen so far — across chained
+    batches, component merges, brand-new nodes, intra-component edges,
+    and isolated self-loops."""
+    import random
+
+    from mel_tnnt_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    batches = []
+    for _ in range(3):
+        batch = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(25)]
+        batch.append((rng.randint(100, 110), rng.randint(0, 80)))  # new node
+        batch.append((120, 120))  # isolated self-loop
+        batches.append(batch)
+
+    def df(edges):
+        return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    labels = connected_components(df(batches[0]))
+    seen = list(batches[0])
+    for batch in batches[1:]:
+        labels = incremental_components(labels, df(batch))
+        seen += batch
+        want = sorted(map(tuple, connected_components(df(seen)).collect()))
+        got = sorted(map(tuple, labels.collect()))
+        assert got == want
