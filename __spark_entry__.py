@@ -602,19 +602,34 @@ def q18(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08, max_df=20)
 
 
+def _minhash_seeds_values(k: int) -> str:
+    """DuckDB VALUES rows (seed, a, b) from the SAME affine constants
+    the engine uses — oracle and plan can never silently diverge."""
+    from mel_tnnt_spark.operators.dedup import minhash_affine_consts
+
+    return ",\n      ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_consts(k))
+    )
+
+
 @_q(
     "q19_dd_minhash_signatures",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
       FROM documents WHERE doc_id < 20),
     sh AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-      FROM w WHERE len(ws) >= 3)
-    SELECT doc_id, seed,
-           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS minhash
-    FROM sh, range(8) r(seed)
+      FROM w WHERE len(ws) >= 3),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT & 2147483647 AS h31
+      FROM sh),
+    seeds(seed, a, b) AS (VALUES
+      {_minhash_seeds_values(8)})
+    SELECT doc_id, seed::BIGINT AS seed, min(h31 * a + b)::BIGINT AS minhash
+    FROM h, seeds
     GROUP BY doc_id, seed
     """,
 )
@@ -653,18 +668,23 @@ def q20(spark, sf_dir):
 
 @_q(
     "q35_dd_lsh_pairs",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
       FROM documents WHERE doc_id < 200),
     sh AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' '))) AS shingle
       FROM w WHERE len(ws) >= 3),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT & 2147483647 AS h31
+      FROM sh),
+    seeds(seed, a, b) AS (VALUES
+      {_minhash_seeds_values(8)}),
     sig AS (
-      SELECT doc_id, seed,
-             min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS minhash
-      FROM sh, range(8) r(seed)
+      SELECT doc_id, seed, min(h31 * a + b) AS minhash
+      FROM h, seeds
       GROUP BY doc_id, seed),
     banded AS (
       SELECT doc_id, seed // 2 AS band,

@@ -118,15 +118,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def _h_col(c):
-    # Column twin of _h: portable md5-60bit hash
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
 def _shingle_array(text_col: str, n: int):
-    """Word n-gram shingles as a per-row ARRAY (no explode): the HOF
-    twin of shingles(). Duplicates are kept — min() is insensitive to
-    them, so MinHash needs no distinct pass at all."""
+    """Word n-gram shingles as a per-row ARRAY: normalize -> split ->
+    sliding window, all JVM-side. Duplicates are kept — min() is
+    insensitive to them, so MinHash needs no distinct pass at all
+    (shingles()'s .distinct() shuffle exists only for the Jaccard
+    document-frequency filter)."""
     w = F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
     return F.when(
         F.size(w) >= n,
@@ -137,43 +134,52 @@ def _shingle_array(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_sig_array(k: int):
-    """k-seed signature array over the `_sh` shingle-array column:
-    sig_i = array_min(h(shingle || '#' || i)) — one per-row fold, all
-    JVM higher-order functions, whole-stage codegen."""
+def minhash_affine_consts(k: int) -> list[tuple[int, int]]:
+    """Per-seed (a, b) for the affine rehash family
+    h_i = a_i * h31 + b_i over the 31-bit base hash — one md5 per
+    shingle instead of k (measured 1.5x faster than the md5-per-seed
+    formulation at sf0.1 AND 16x less hashing at production k). a_i is
+    odd and 31-bit so a*h+b < 2^62: no BIGINT overflow in either
+    engine. Oracles regenerate the same constants via
+    _minhash_oracle_seeds()."""
+    return [
+        (((2 * i + 1) * 2654435761 % (1 << 31)) | 1, (i * 40503 + 17) % (1 << 31))
+        for i in range(k)
+    ]
 
-    def seed_min(i: int):
-        # single-arg lambda only: a two-parameter lambda would make
-        # F.transform pass (element, index) and rebind the seed
-        suffix = F.lit(f"#{i}")
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: _h_col(F.concat(s, suffix)))
-        )
 
-    return F.array(*[seed_min(i) for i in range(k)])
+def _minhash_agg(df: DataFrame, id_col: str, text_col: str, n: int, k: int) -> DataFrame:
+    """(id, m0..m{k-1}) one row per doc with shingles — the shared
+    signature plan: explode shingles (NO distinct), ONE codegen md5 per
+    occurrence masked to 31 bits, k affine rehashes as aggregate
+    columns of a single map-side-combined groupBy. The only shuffle
+    moves |docs| combined rows of k longs — never the shingle stream
+    (the earlier formulations either shuffled |shingles| x k exploded
+    rows or paid interpreted higher-order-function evaluation, ~2-3x
+    slower than codegen; A/B numbers in BENCH.md)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
+    )
+    h31 = F.expr(_h("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))
+    hashed = ex.select("id", h31.alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_affine_consts(k))
+        ]
+    )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
-    """MinHash: sig_i(doc) = min over shingles of h(shingle || '#' || i).
-    Long form (id, seed, minhash) — k rows per doc; the band/bucket
-    stage regroups. h is the portable md5-60bit hash.
-
-    ZERO shuffles: the signature is a per-row fold over the shingle
-    array (the earlier formulation exploded |shingles| x k rows through
-    a groupBy(id, seed) shuffle — at production k=16 that is x16 the
-    shingle stream through the wire; this plan moves only k longs per
-    doc, and only because the long-form CONTRACT asks for rows —
-    minhash_lsh_pairs skips even that and banding happens on the
-    array). Docs with no shingles produce no row (parity with the
-    explode formulation)."""
-    return (
-        df.select(F.col(id_col).alias("id"), _shingle_array(text_col, n).alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select("id", F.posexplode(_minhash_sig_array(k)).alias("seed", "minhash"))
-        .select("id", F.col("seed").cast("int").alias("seed"), "minhash")
-    )
+    """MinHash: sig_i(doc) = min over shingles of the i-th affine
+    rehash of the portable md5-31bit shingle hash. Long form
+    (id, seed, minhash) — k rows per doc via stack() over the
+    single-row aggregate. Docs with no shingles produce no row."""
+    agg = _minhash_agg(df, id_col, text_col, n, k)
+    stack = ", ".join(f"{i}, m{i}" for i in range(k))
+    return agg.select("id", F.expr(f"stack({k}, {stack}) AS (seed, minhash)"))
 
 
 def minhash_lsh_pairs(
@@ -184,38 +190,36 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs: split the k-row signature into `bands`
-    bands of k/bands rows; band key = md5 of the concatenated minhashes;
-    docs sharing any band bucket become candidates. Returns distinct
-    candidate pairs (verify with ngram_jaccard_pairs or exact check)."""
+    """LSH candidate pairs: split the k-minhash signature into `bands`
+    bands of k/bands values; band key = md5 of the concatenated
+    minhashes (seed order); docs sharing any band bucket become
+    candidates. Returns distinct candidate pairs (verify with
+    ngram_jaccard_pairs or exact check).
+
+    Band buckets come straight off the one-row-per-doc aggregate — no
+    collect_list regroup; beyond the signature groupBy the only
+    shuffle is the candidate equi-join on (band, bucket)."""
     rows_per_band = k // bands
-    # band buckets straight off the per-row signature ARRAY — zero
-    # shuffles before the candidate equi-join (the earlier formulation
-    # paid the exploded-signature shuffle PLUS a collect_list regroup;
-    # bucket strings are byte-identical: minhashes in seed order)
+    agg = _minhash_agg(df, id_col, text_col, n, k)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                            lambda m: m.cast("string"),
-                        ),
+                    F.concat_ws(
                         ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
                     )
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    banded = (
-        df.select(F.col(id_col).alias("id"), _shingle_array(text_col, n).alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select("id", _minhash_sig_array(k).alias("_sig"))
-        .select("id", F.explode(band_structs).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = agg.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     return (
         banded.alias("a")
