@@ -248,53 +248,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     otherwise they'd be constant 0 at 64-bit width, silently degrading
     Hamming distances. Caps at 64 (a long signature).
 
-    ZERO shuffles and zero row inflation: the whole signature is a
-    per-row fold — tokenize with split, hash each token once via
-    transform, accumulate the bits-wide contribution vector with
-    aggregate+zip_with (all JVM-side higher-order functions), then
-    pack the sign bits. The earlier formulation exploded tokens x bits
-    rows through a shuffle (x64 at production width); this one is
-    embarrassingly parallel, the ideal 100-TB plan. Docs with no
-    tokens produce no row (parity with the explode formulation)."""
+    Plan: explode tokens, ONE codegen md5 per occurrence, `bits`
+    per-bit sign sums as aggregate columns of a map-side-combined
+    groupBy — the shuffle carries one bits-long row per doc per
+    mapper, never the token stream. (A previous formulation computed
+    the same signature as a zero-shuffle aggregate/zip_with fold;
+    measured 1.4x SLOWER at sf0.1 because Spark evaluates
+    higher-order-function lambdas interpreted, outside whole-stage
+    codegen — same lesson as the MinHash A/B in BENCH.md.) Docs with
+    no tokens produce no row."""
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("t"),
     )
 
-    def _half(md5_col, lo):
-        return F.conv(F.substring(md5_col, lo, 15), 16, 10).cast("long")
+    def _half(lo):
+        return F.conv(F.substring(F.md5("t"), lo, 15), 16, 10).cast("long")
 
-    if bits <= 60:
-        hashes = F.transform(toks, lambda t: F.struct(_half(F.md5(t), 1).alias("h1")))
-    else:
-        hashes = F.transform(
-            toks,
-            lambda t: F.struct(
-                _half(F.md5(t), 1).alias("h1"), _half(F.md5(t), 17).alias("h2")
-            ),
-        )
+    cols = {"id": F.col("id"), "h1": _half(1)}
+    if bits > 60:
+        cols["h2"] = _half(17)
+    hashed = toks.select(*[v.alias(k) for k, v in cols.items()])
 
-    def _hash_bit(s, b):
+    def _hash_bit(b):
         # bits 0-59 from the first md5 half, 60-63 from the second
-        src, off = (s["h1"], b) if b < 60 else (s["h2"], b - 60)
-        return src.bitwiseAND(F.lit(_bit_mask(off))) != 0
+        src_col, off = ("h1", b) if b < 60 else ("h2", b - 60)
+        return F.col(src_col).bitwiseAND(F.lit(_bit_mask(off))) != 0
 
-    def contrib(s):
-        return F.array(
-            *[(_hash_bit(s, b).cast("long") * 2 - 1) for b in range(bits)]
-        )
-
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    acc = F.aggregate(hashes, zero, lambda a, h: F.zip_with(a, contrib(h), lambda x, y: x + y))
-    folded = df.select(
-        F.col(id_col).alias("id"), F.size(toks).alias("n_toks"), acc.alias("acc")
-    ).where(F.col("n_toks") > 0)
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(_hash_bit(b).cast("long") * 2 - 1).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
     sig = None
     for b in range(bits):
-        term = (F.element_at(F.col("acc"), b + 1) > 0).cast("long") * F.lit(_bit_mask(b))
+        term = (F.col(f"s{b}") > 0).cast("long") * F.lit(_bit_mask(b))
         sig = term if sig is None else sig + term
-    return folded.select("id", sig.alias("simhash"))
+    return sums.select("id", sig.alias("simhash"))
 
 
 def embedding_near_dup_pairs(
