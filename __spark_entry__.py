@@ -628,7 +628,7 @@ def _minhash_seeds_values(k: int) -> str:
       FROM sh),
     seeds(seed, a, b) AS (VALUES
       {_minhash_seeds_values(8)})
-    SELECT doc_id, seed::BIGINT AS seed, min(h31 * a + b)::BIGINT AS minhash
+    SELECT doc_id, seed::BIGINT AS seed, min((h31 * a + b) % 2147483647)::BIGINT AS minhash
     FROM h, seeds
     GROUP BY doc_id, seed
     """,
@@ -683,7 +683,7 @@ def q20(spark, sf_dir):
     seeds(seed, a, b) AS (VALUES
       {_minhash_seeds_values(8)}),
     sig AS (
-      SELECT doc_id, seed, min(h31 * a + b) AS minhash
+      SELECT doc_id, seed, min((h31 * a + b) % 2147483647) AS minhash
       FROM h, seeds
       GROUP BY doc_id, seed),
     banded AS (

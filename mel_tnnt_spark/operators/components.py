@@ -212,10 +212,33 @@ def incremental_components(
     lab = labels.select(F.col(node_col).alias("_n"), F.col(comp_col).alias("_c"))
     e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
 
+    # endpoint -> current component, WITHOUT shuffling the label table:
+    # an inner join with the (batch-bounded) endpoint set broadcast as
+    # the BUILD side streams labels once. (A broadcast hint on the left
+    # side of a left-outer join is unsupported and silently ignored —
+    # the naive formulation would sort-merge the whole label table per
+    # batch; found in round-3 self-review.) The resulting endpoint
+    # component map is batch-bounded, so the edge-mapping joins
+    # broadcast IT, never the labels.
+    endpoints = (
+        e.select(F.col("s").alias(node_col))
+        .union(e.select(F.col("d").alias(node_col)))
+        .distinct()
+    )
+    ep_comp = lab.join(
+        F.broadcast(endpoints), lab["_n"] == endpoints[node_col], "inner"
+    ).select(F.col("_n"), F.col("_c"))
     mapped = (
-        F.broadcast(e)
-        .join(lab.withColumnRenamed("_n", "s").withColumnRenamed("_c", "cs"), "s", "left")
-        .join(lab.withColumnRenamed("_n", "d").withColumnRenamed("_c", "cd"), "d", "left")
+        e.join(
+            F.broadcast(ep_comp.select(F.col("_n").alias("s"), F.col("_c").alias("cs"))),
+            "s",
+            "left",
+        )
+        .join(
+            F.broadcast(ep_comp.select(F.col("_n").alias("d"), F.col("_c").alias("cd"))),
+            "d",
+            "left",
+        )
         .select(
             F.coalesce("cs", F.col("s")).alias("a"),
             F.coalesce("cd", F.col("d")).alias("b"),
@@ -235,14 +258,14 @@ def incremental_components(
             F.coalesce("_new", F.col(comp_col)).alias(comp_col),
         )
     )
-    # brand-new nodes: batch endpoints absent from the label table take
-    # their contracted-graph label directly
-    endpoints = e.select(F.col("s").alias(node_col)).union(
-        e.select(F.col("d").alias(node_col))
-    ).distinct()
+    # brand-new nodes: batch endpoints absent from the endpoint
+    # component map (both sides batch-bounded — the label table is not
+    # touched again) take their contracted-graph label directly
     new_nodes = (
-        endpoints.join(lab, endpoints[node_col] == lab["_n"], "left_anti")
-        .join(remap, endpoints[node_col] == remap["_old"], "left")
+        endpoints.join(
+            F.broadcast(ep_comp), endpoints[node_col] == ep_comp["_n"], "left_anti"
+        )
+        .join(F.broadcast(remap), endpoints[node_col] == remap["_old"], "left")
         .select(F.col(node_col), F.coalesce("_new", F.col(node_col)).alias(comp_col))
     )
     return updated.unionByName(new_nodes)

@@ -40,25 +40,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingle_array(text_col: str, n: int):
+    """Word n-gram shingles as a per-row ARRAY: normalize -> split ->
+    sliding window, all JVM-side. THE single source of truth for the
+    shingle definition — shingles() explodes this array, MinHash folds
+    it. Duplicates are kept (min() is insensitive; the Jaccard path
+    dedups after the explode)."""
+    w = F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Word n-gram shingle set per doc: normalize -> split -> sliding
-    window via posexplode over a sequence (JVM-side, no UDF)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ").alias("w"),
-    ).where(F.size("w") >= n)
-    return (
-        toks.select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - n),
-                    lambda i: F.array_join(F.slice("w", i + 1, n), " "),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    """DISTINCT word n-gram shingle set per doc (long form) — the
+    inverted-index side of the Jaccard path."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -118,32 +121,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_array(text_col: str, n: int):
-    """Word n-gram shingles as a per-row ARRAY: normalize -> split ->
-    sliding window, all JVM-side. Duplicates are kept — min() is
-    insensitive to them, so MinHash needs no distinct pass at all
-    (shingles()'s .distinct() shuffle exists only for the Jaccard
-    document-frequency filter)."""
-    w = F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
 def minhash_affine_consts(k: int) -> list[tuple[int, int]]:
-    """Per-seed (a, b) for the affine rehash family
-    h_i = a_i * h31 + b_i over the 31-bit base hash — one md5 per
-    shingle instead of k (measured 1.5x faster than the md5-per-seed
-    formulation at sf0.1 AND 16x less hashing at production k). a_i is
-    odd and 31-bit so a*h+b < 2^62: no BIGINT overflow in either
-    engine. Oracles regenerate the same constants via
-    _minhash_oracle_seeds()."""
+    """Per-seed (a, b) for the universal-hash family over GF(p),
+    p = 2^31 - 1: h_i = (a_i * h31 + b_i) mod p with a_i in [1, p-1],
+    b_i in [0, p-1] — one md5 per shingle instead of k (measured 1.5x
+    faster than md5-per-seed at sf0.1 AND 16x less hashing at
+    production k). The modulus is essential: without it the map is
+    strictly monotone, every seed's min lands on the same shingle, and
+    the k components collapse to affine images of one value (caught in
+    round-3 self-review). a*h+b < p*(p+1) < 2^62: no BIGINT overflow
+    in either engine. Oracles regenerate these constants through
+    __spark_entry__._minhash_seeds_values()."""
     return [
-        (((2 * i + 1) * 2654435761 % (1 << 31)) | 1, (i * 40503 + 17) % (1 << 31))
+        (
+            ((2 * i + 1) * 2654435761) % (MINHASH_P - 1) + 1,
+            (i * 40503 + 17) % MINHASH_P,
+        )
         for i in range(k)
     ]
 
@@ -164,7 +160,7 @@ def _minhash_agg(df: DataFrame, id_col: str, text_col: str, n: int, k: int) -> D
     hashed = ex.select("id", h31.alias("h"))
     return hashed.groupBy("id").agg(
         *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
             for i, (a, b) in enumerate(minhash_affine_consts(k))
         ]
     )
@@ -198,9 +194,14 @@ def minhash_lsh_pairs(
 
     Band buckets come straight off the one-row-per-doc aggregate — no
     collect_list regroup; beyond the signature groupBy the only
-    shuffle is the candidate equi-join on (band, bucket)."""
+    shuffle is the candidate equi-join on (band, bucket). When bands
+    does not divide k, the trailing k % (k // bands) minhashes form
+    one extra (narrower) band — no seed is silently dropped."""
+    if not 1 <= bands <= k:
+        raise ValueError(f"bands must be in [1, {k}], got {bands}")
     rows_per_band = k // bands
     agg = _minhash_agg(df, id_col, text_col, n, k)
+    n_bands_eff = -(-k // rows_per_band)  # ceil: remainder seeds get a band
     band_structs = F.array(
         *[
             F.struct(
@@ -210,12 +211,14 @@ def minhash_lsh_pairs(
                         ",",
                         *[
                             F.col(f"m{i}").cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            for i in range(
+                                b * rows_per_band, min((b + 1) * rows_per_band, k)
+                            )
                         ],
                     )
                 ).alias("bucket"),
             )
-            for b in range(bands)
+            for b in range(n_bands_eff)
         ]
     )
     banded = agg.select("id", F.explode(band_structs).alias("bb")).select(
@@ -388,13 +391,19 @@ def simhash_pairs(
         raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
     sig = simhash(df, id_col, text_col, bits=bits)
     n_bands = max_hamming + 1
-    width = -(-bits // n_bands)  # ceil; last band may be narrower
+    # floor/ceil width distribution: every band is 1..64 bits wide for
+    # ANY valid (bits, max_hamming) — a ceil-only split can produce a
+    # zero-width trailing band whose constant value joins all docs
+    # pairwise (found in round-3 self-review)
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     band_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
-                F.lit((1 << min(width, bits - bi * width)) - 1)
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                F.lit(-1 if w == 64 else (1 << w) - 1)
             )
-            for bi in range(n_bands)
+            for off, w in zip(offsets, widths)
         ]
     )
     banded = sig.select("id", "simhash", F.posexplode(band_vals).alias("band", "bval"))

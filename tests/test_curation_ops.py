@@ -491,3 +491,65 @@ def test_summary_filters_reference_quirks(spark):
         assert got[s]["only_num"] == all(c.isdigit() for c in body), s
         assert got[s]["only_alpha"] == all(c.isalpha() for c in body), s
         assert got[s]["is_url"] == bool(url_re.search(s)), s
+
+
+def test_minhash_seeds_are_independent(spark):
+    """Round-3 self-review regression: without the mod-p the affine
+    rehash is monotone, every seed's min lands on the same shingle,
+    and signature agreement is always all-or-nothing. Two docs sharing
+    roughly half their shingles must agree on SOME but not ALL seeds."""
+    from mel_tnnt_spark.operators.dedup import minhash_signatures
+
+    a = " ".join(f"tok{i}" for i in range(40))
+    b = " ".join(f"tok{i}" for i in range(20)) + " " + " ".join(f"other{i}" for i in range(20))
+    df = spark.createDataFrame([(1, a), (2, b)], "id int, text string")
+    sig = minhash_signatures(df, "id", "text", n=3, k=32).collect()
+    s1 = {r["seed"]: r["minhash"] for r in sig if r["id"] == 1}
+    s2 = {r["seed"]: r["minhash"] for r in sig if r["id"] == 2}
+    agree = sum(1 for i in range(32) if s1[i] == s2[i])
+    assert 0 < agree < 32, f"all-or-nothing agreement ({agree}/32) — seeds not independent"
+    # and the per-seed values of one doc are not one affine image: the
+    # argmin shingle must differ across seeds somewhere
+    assert len(set(s1.values())) > 1
+
+
+def test_minhash_lsh_remainder_band_and_validation(docs):
+    from mel_tnnt_spark.operators.dedup import minhash_lsh_pairs
+
+    # k=10, bands=4 -> rows_per_band=2, FIVE effective bands; trailing
+    # seeds 8-9 still contribute a band (round-3 self-review regression)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "id", "text", n=3, k=10, bands=4).collect()
+    }
+    assert (1, 2) in cand  # identical docs collide in every band
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, "id", "text", k=8, bands=0)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, "id", "text", k=8, bands=9)
+
+
+def test_simhash_pairs_awkward_band_settings(docs):
+    """Round-3 self-review regressions: ceil-only width split crashed
+    (negative shift) or produced a zero-width all-docs band for many
+    valid (bits, max_hamming); floor/ceil distribution must give exact
+    results for ALL of them."""
+    from mel_tnnt_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=16).collect()}
+    ids = sorted(sigs)
+    for k in (4, 6, 8, 14):
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            tuple(r)
+            for r in simhash_pairs(docs, "id", "text", bits=16, max_hamming=k).collect()
+        }
+        assert got == want, f"max_hamming={k}"
+    # 64-bit width: single band of 64 bits must not overflow the mask
+    full = simhash_pairs(docs, "id", "text", bits=64, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in full} == {(1, 2)}

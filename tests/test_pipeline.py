@@ -366,3 +366,29 @@ def test_incremental_components_equals_from_scratch(spark):
         want = sorted(map(tuple, connected_components(df(seen)).collect()))
         got = sorted(map(tuple, labels.collect()))
         assert got == want
+
+
+def test_incremental_components_never_shuffles_labels(spark):
+    """With auto-broadcast disabled, every join in the incremental
+    plan must still be an explicit BroadcastHashJoin — a SortMergeJoin
+    would mean the label table is shuffled per batch (the round-3
+    self-review found the broadcast hint on the wrong side)."""
+    from mel_tnnt_spark.operators.components import incremental_components
+
+    labels = spark.createDataFrame(
+        [(i, i - i % 3) for i in range(300)], "node bigint, component bigint"
+    )
+    edges = spark.createDataFrame([(1, 5), (7, 400)], "src bigint, dst bigint")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_components(labels, edges)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        got = dict((r["node"], r["component"]) for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # spot-check semantics survived the plan change: edge (1,5) merges
+    # components 0 and 3 -> 0; edge (7,400) attaches new node 400 to 6
+    assert got[400] == 6 and got[5] == 0 and got[4] == 0
