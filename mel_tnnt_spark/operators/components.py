@@ -185,6 +185,7 @@ def incremental_components(
     dst: str = "dst",
     node_col: str = "node",
     comp_col: str = "component",
+    changed_only: bool = False,
 ) -> DataFrame:
     """Incremental CC maintenance: fold a BATCH of new edges into an
     existing (node, component) labeling without recomputing the global
@@ -207,8 +208,10 @@ def incremental_components(
     remap are batch-bounded; the big label table is never shuffled),
     step 2 is CC on a batch-sized graph (usually the driver union-find
     fast path). Per-batch cost is O(|batch| + |labels| scan) instead of
-    O(|graph| x diameter) — pair with merge_upsert on the changed rows
-    only for O(touched) persistence."""
+    O(|graph| x diameter). changed_only=True returns just the rows
+    whose label moves (plus new nodes) — feed that to merge_upsert for
+    O(touched) persistence (streaming.stream_maintain_components does
+    exactly this)."""
     lab = labels.select(F.col(node_col).alias("_n"), F.col(comp_col).alias("_c"))
     e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
 
@@ -251,13 +254,20 @@ def incremental_components(
     remap = contracted.select(
         F.col("node").alias("_old"), F.col("component").alias("_new")
     )
-    updated = (
-        labels.join(F.broadcast(remap), labels[comp_col] == remap["_old"], "left")
-        .select(
-            F.col(node_col),
-            F.coalesce("_new", F.col(comp_col)).alias(comp_col),
-        )
+    joined = labels.join(
+        F.broadcast(remap), labels[comp_col] == remap["_old"], "left"
     )
+    if changed_only:
+        # delta mode for O(touched) persistence (merge_upsert): only
+        # rows whose label actually moves, plus the new nodes below —
+        # a broadcast FILTER over labels, no extra join
+        updated = joined.where(
+            F.col("_new").isNotNull() & (F.col("_new") != F.col(comp_col))
+        ).select(F.col(node_col), F.col("_new").alias(comp_col))
+    else:
+        updated = joined.select(
+            F.col(node_col), F.coalesce("_new", F.col(comp_col)).alias(comp_col)
+        )
     # brand-new nodes: batch endpoints absent from the endpoint
     # component map (both sides batch-bounded — the label table is not
     # touched again) take their contracted-graph label directly

@@ -189,3 +189,70 @@ def mention_rate_stream(events: DataFrame, window: str = "1 minute", watermark: 
             F.col("count").alias("cnt"),
         )
     )
+
+
+def stream_maintain_components(
+    edge_stream: DataFrame,
+    labels_path: str,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    once: bool = True,
+):
+    """Continuous identity maintenance: every micro-batch of similarity
+    edges folds into the persisted (node, component) table via
+    incremental_components(changed_only=True) + the O(touched) MERGE
+    sink — the streaming twin of the north-star CC, at per-batch cost
+    O(|batch|) instead of a global recompute (the rollup-maintenance
+    shape applied to the identity graph).
+
+    Replay protection mirrors stream_maintain_rollup: foreachBatch is
+    at-least-once and the label merge is NOT idempotent against
+    interleaved later batches, so applied batch ids are marker files
+    namespaced by the checkpoint's query id, written after the merge
+    commits. Stream==batch equality (final labels equal from-scratch
+    CC over all edges) is pinned in tests/test_streaming.py."""
+    import hashlib
+    import json as _json
+    import os
+
+    from mel_tnnt_spark.operators.components import incremental_components
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert, read_merged
+
+    applied_dir = labels_path + "__applied"
+
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return _json.load(f)["id"]
+        except (OSError, ValueError, KeyError):
+            return hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:16]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"{_query_ns()}-batch-{batch_id}")
+        if os.path.exists(marker) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(labels_path):
+            labels = read_merged(spark, labels_path)
+        else:  # first batch: empty labeling with the edge key type
+            labels = spark.createDataFrame(
+                [],
+                batch_df.select(
+                    F.col(src).alias("node"), F.col(src).alias("component")
+                ).schema,
+            )
+        delta = incremental_components(
+            labels, batch_df, src=src, dst=dst, changed_only=True
+        )
+        merge_upsert(spark, labels_path, delta, keys=("node",))
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = edge_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="10 seconds").start()

@@ -256,3 +256,54 @@ def test_stream_maintain_rollup_equals_scratch(spark, tmpdirs):
         for r in read_merged(spark, rollup).collect()
     }
     assert got2 == want
+
+
+def test_stream_maintain_components_equals_scratch(spark, tmpdirs):
+    """Continuous identity maintenance: micro-batched edge arrivals
+    folded through incremental_components(changed_only) + the MERGE
+    sink converge to from-scratch CC over the full edge history, and a
+    restart over the same source re-merges nothing."""
+    import os
+    import random
+
+    from mel_tnnt_spark.operators.components import connected_components
+    from mel_tnnt_spark.operators.merge_sink import read_merged
+    from mel_tnnt_spark.streaming.incremental import stream_maintain_components
+
+    rng = random.Random(31)
+    batches = []
+    for b in range(3):
+        edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(20)]
+        edges.append((100 + b, rng.randint(0, 60)))  # a new node per batch
+        batches.append(edges)
+
+    src = f"{tmpdirs}/edgesrc"
+    for edges in batches:
+        spark.createDataFrame(edges, "src bigint, dst bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    labels_path = f"{tmpdirs}/labels"
+
+    def run():
+        stream = (
+            spark.readStream.schema("src bigint, dst bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_maintain_components(stream, labels_path, f"{tmpdirs}/cc_ckpt")
+        q.awaitTermination(180)
+
+    run()
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "src bigint, dst bigint"
+    )
+    want = sorted(map(tuple, connected_components(all_edges).collect()))
+    got = sorted(map(tuple, read_merged(spark, labels_path).collect()))
+    assert got == want
+
+    assert len(os.listdir(labels_path + "__applied")) >= 2
+
+    run()  # restart: markers + checkpoint -> no re-merge
+    got2 = sorted(map(tuple, read_merged(spark, labels_path).collect()))
+    assert got2 == want
