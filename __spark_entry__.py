@@ -2289,6 +2289,59 @@ def q68(spark, sf_dir):
     return incremental_components(labels, merges.unionByName(attach))
 
 
+
+
+@_q(
+    "q69_multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS media_id,
+             printf('%02x', (doc_id * 37 +   0) % 256) AS h0,
+             printf('%02x', (doc_id * 37 +  59) % 256) AS h1,
+             printf('%02x', (doc_id * 37 + 118) % 256) AS h2,
+             printf('%02x', (doc_id * 37 + 177) % 256) AS h3
+      FROM documents WHERE doc_id < 40)
+    SELECT media_id, 59::BIGINT AS n_bytes,
+           '50360a3420340a3235350a' ||
+           repeat(repeat(h0, 6) || repeat(h1, 6), 2) ||
+           repeat(repeat(h2, 6) || repeat(h3, 6), 2) AS payload_hex
+    FROM d
+    """,
+)
+def q69(spark, sf_dir):
+    """Multimodal resize with the REAL kernel (decode -> nearest-
+    neighbor gather -> P6 re-encode): the q55 2x2 gray PPMs are
+    resized to 4x4, where floor-mapped nearest neighbor makes each
+    source pixel an exact 2x2 block — so the full output byte stream
+    (11-byte P6 header + 48 pixel bytes) is closed-form and the oracle
+    states its hex literally. Completes the decode / feature-extract /
+    resize / frame-sample multimodal quartet, each oracle-gated."""
+    from mel_tnnt_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    def byte(c):
+        return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+    px = []
+    for i in range(4):
+        b = byte((F.col("doc_id") * 37 + i * 59) % 256)
+        px += [b, b, b]
+    payload = F.concat(F.lit("P6\n2 2\n255\n").cast("binary"), *px)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        payload.alias("payload"),
+    )
+    out = resize_images(media, 4, 4)
+    return out.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

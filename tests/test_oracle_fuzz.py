@@ -218,6 +218,7 @@ FUZZ_QUERIES = [
     "q66_a6_aggregated_summary",
     "q67_m14_archive_members",
     "q68_cc_incremental_maintenance",
+    "q69_multimodal_resize",
 ]
 
 
