@@ -392,3 +392,19 @@ def test_incremental_components_never_shuffles_labels(spark):
     # spot-check semantics survived the plan change: edge (1,5) merges
     # components 0 and 3 -> 0; edge (7,400) attaches new node 400 to 6
     assert got[400] == 6 and got[5] == 0 and got[4] == 0
+
+
+def test_distributed_cc_converges_on_deep_graph(spark):
+    """Pointer jumping (label <- label(label)) must turn O(diameter)
+    min-label propagation into O(log diameter): a 4000-node path has
+    diameter 4000 and would need 4000 plain rounds — far beyond
+    max_iter — but converges in ~log2 rounds with jumping."""
+    from mel_tnnt_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(3999)], "src bigint, dst bigint"
+    )
+    out = connected_components(edges, driver_threshold=0, max_iter=20)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 4000
