@@ -106,13 +106,14 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce("neigh_component", F.col("component"))
             ).alias("component"),
+            F.col("component").alias("_oc"),  # threaded for the change flag
         )
         # pointer jumping: component <- label(component). Every label is
         # itself a graph node (min over neighbour labels; initial label
         # = self), so the self-join always resolves. Halving the
         # label-chain depth each round turns O(diameter) convergence
-        # into O(log diameter) — a 5000-node path converges in ~13
-        # rounds instead of 5000 (test-pinned).
+        # into O(log diameter) — the 4000-node-path test converges
+        # within 20 rounds where plain propagation would need 4000.
         hop = propagated.select(
             F.col("node").alias("_pn"), F.col("component").alias("_pc")
         )
@@ -123,9 +124,8 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("_pc", F.col("component"))
                 ).alias("component"),
+                "_oc",
             )
-            .join(labels.select(F.col("node").alias("_on"), F.col("component").alias("_oc")),
-                  F.col("node") == F.col("_on"))
             .select(
                 "node",
                 "component",

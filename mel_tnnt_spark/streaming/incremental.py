@@ -108,6 +108,59 @@ def run_incremental(
     return q
 
 
+def _replay_protected_stream(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    apply_fn,
+    once: bool,
+):
+    """Shared foreachBatch scaffold for the maintained-table streams
+    (rollup, component labels): at-least-once delivery is made
+    effectively exactly-once by applied-batch marker files NAMESPACED
+    BY THE QUERY ID read from the checkpoint — batch ids restart at 0
+    for every fresh checkpoint, so an un-namespaced marker would
+    silently drop the early batches of any later stream maintaining
+    the same table. Markers are written AFTER apply_fn's merge
+    commits; the remaining window — a crash between the merge's last
+    bucket promote and the marker write — re-applies one batch (the
+    merge sink's _recover repairs the half-promoted table first; a
+    real Iceberg MERGE commits data and ancestry in one snapshot and
+    closes the window entirely). Empty batches are skipped without a
+    marker (re-skipping is free)."""
+    import hashlib
+    import json as _json
+    import os
+
+    applied_dir = target_path + "__applied"
+
+    def _query_ns() -> str:
+        # the checkpoint's metadata file carries the stable query id
+        # (same across restarts of this checkpoint, different for any
+        # fresh checkpoint); fall back to a path hash before it exists
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return _json.load(f)["id"]
+        except (OSError, ValueError, KeyError):
+            return hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:16]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"{_query_ns()}-batch-{batch_id}")
+        if os.path.exists(marker) or batch_df.isEmpty():
+            return
+        apply_fn(batch_df)
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="10 seconds").start()
+
+
 def stream_maintain_rollup(
     stream: DataFrame,
     rollup_path: str,
@@ -123,54 +176,18 @@ def stream_maintain_rollup(
     into the stored rollup via `operators.rollup.maintain_rollup`, so
     only the time buckets the batch touches are re-aggregated and only
     their key-hash partitions rewritten (the O(touched) MERGE sink).
-
-    Replay protection: foreachBatch is at-least-once, and the rollup
-    merge ADDS, so a re-delivered batch must be skipped, not re-merged.
-    Applied batch ids are recorded as marker files next to the rollup
-    (written AFTER the merge commits), NAMESPACED BY THE QUERY ID read
-    from the checkpoint — batch ids restart at 0 for every fresh
-    checkpoint, so an un-namespaced marker would silently drop the
-    early batches of any later stream maintaining the same rollup.
-    The remaining window — a crash between the merge's last bucket
-    promote and the marker write — re-applies one batch; a real
-    Iceberg MERGE commits data and ancestry in one snapshot and closes
-    it. Stream==batch equality is pinned in tests/test_streaming.py."""
-    import hashlib
-    import json as _json
-    import os
-
+    Replay protection via _replay_protected_stream (the rollup merge
+    ADDS, so a re-delivered batch must skip, not re-merge).
+    Stream==batch equality is pinned in tests/test_streaming.py."""
     from mel_tnnt_spark.operators.rollup import maintain_rollup
 
-    applied_dir = rollup_path + "__applied"
-
-    def _query_ns() -> str:
-        # the checkpoint's metadata file carries the stable query id
-        # (same across restarts of this checkpoint, different for any
-        # fresh checkpoint); fall back to a path hash before it exists
-        try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                return _json.load(f)["id"]
-        except (OSError, ValueError, KeyError):
-            return hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:16]
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"{_query_ns()}-batch-{batch_id}")
-        if os.path.exists(marker):
-            return  # re-delivered batch: already merged
+    def apply(batch_df: DataFrame) -> None:
         maintain_rollup(
             batch_df.sparkSession, rollup_path, batch_df,
             ts=ts, dims=dims, value=value, bucket=bucket,
         )
-        os.makedirs(applied_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("done")
 
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if once:
-        return writer.trigger(availableNow=True).start()
-    return writer.trigger(processingTime="10 seconds").start()
+    return _replay_protected_stream(stream, rollup_path, checkpoint_dir, apply, once)
 
 
 def mention_rate_stream(events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
@@ -204,35 +221,26 @@ def stream_maintain_components(
     incremental_components(changed_only=True) + the O(touched) MERGE
     sink — the streaming twin of the north-star CC, at per-batch cost
     O(|batch|) instead of a global recompute (the rollup-maintenance
-    shape applied to the identity graph).
+    shape applied to the identity graph). Replay protection via
+    _replay_protected_stream. Stream==batch equality (final labels
+    equal from-scratch CC over all edges) is pinned in
+    tests/test_streaming.py.
 
-    Replay protection mirrors stream_maintain_rollup: foreachBatch is
-    at-least-once and the label merge is NOT idempotent against
-    interleaved later batches, so applied batch ids are marker files
-    namespaced by the checkpoint's query id, written after the merge
-    commits. Stream==batch equality (final labels equal from-scratch
-    CC over all edges) is pinned in tests/test_streaming.py."""
-    import hashlib
-    import json as _json
+    Robustness: the label table is crash-REPAIRED before it is read
+    (a delta computed from a half-promoted table would corrupt the
+    labeling permanently, unlike the benign one-batch re-apply), and
+    null-endpoint edges are dropped (externally-sourced edge streams
+    can carry them; a null would poison the union-find and wedge the
+    stream on one bad row)."""
     import os
 
     from mel_tnnt_spark.operators.components import incremental_components
-    from mel_tnnt_spark.operators.merge_sink import merge_upsert, read_merged
+    from mel_tnnt_spark.operators.merge_sink import _recover, merge_upsert, read_merged
 
-    applied_dir = labels_path + "__applied"
-
-    def _query_ns() -> str:
-        try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                return _json.load(f)["id"]
-        except (OSError, ValueError, KeyError):
-            return hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:16]
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"{_query_ns()}-batch-{batch_id}")
-        if os.path.exists(marker) or batch_df.isEmpty():
-            return
+    def apply(batch_df: DataFrame) -> None:
         spark = batch_df.sparkSession
+        batch_df = batch_df.dropna(subset=[src, dst])
+        _recover(labels_path)  # repair any crashed merge BEFORE reading
         if os.path.isdir(labels_path):
             labels = read_merged(spark, labels_path)
         else:  # first batch: empty labeling with the edge key type
@@ -246,13 +254,7 @@ def stream_maintain_components(
             labels, batch_df, src=src, dst=dst, changed_only=True
         )
         merge_upsert(spark, labels_path, delta, keys=("node",))
-        os.makedirs(applied_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("done")
 
-    writer = edge_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _replay_protected_stream(
+        edge_stream, labels_path, checkpoint_dir, apply, once
     )
-    if once:
-        return writer.trigger(availableNow=True).start()
-    return writer.trigger(processingTime="10 seconds").start()

@@ -307,3 +307,21 @@ def test_stream_maintain_components_equals_scratch(spark, tmpdirs):
     run()  # restart: markers + checkpoint -> no re-merge
     got2 = sorted(map(tuple, read_merged(spark, labels_path).collect()))
     assert got2 == want
+
+
+def test_stream_maintain_components_drops_null_endpoints(spark, tmpdirs):
+    """A null src/dst row in an edge micro-batch must be dropped, not
+    poison the union-find and wedge the stream (round-3 review)."""
+    from mel_tnnt_spark.operators.merge_sink import read_merged
+    from mel_tnnt_spark.streaming.incremental import stream_maintain_components
+
+    src = f"{tmpdirs}/nulledges"
+    spark.createDataFrame(
+        [(1, 2), (None, 5), (3, None)], "src bigint, dst bigint"
+    ).coalesce(1).write.mode("append").parquet(src)
+    labels_path = f"{tmpdirs}/nulllabels"
+    stream = spark.readStream.schema("src bigint, dst bigint").parquet(src)
+    q = stream_maintain_components(stream, labels_path, f"{tmpdirs}/nullckpt")
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_merged(spark, labels_path).collect()))
+    assert got == [(1, 1), (2, 1)]
