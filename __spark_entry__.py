@@ -2342,6 +2342,55 @@ def q69(spark, sf_dir):
     )
 
 
+
+
+@_q(
+    "q70_curation_pipeline",
+    """
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d AS (
+      SELECT doc_id, text, lang FROM documents JOIN surv USING (doc_id)),
+    q AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1), 4) AS alpha_ratio
+      FROM d),
+    kept AS (
+      SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+    sampled AS (
+      SELECT * FROM kept
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 3 = 0)
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM sampled GROUP BY lang
+    """,
+)
+def q70(spark, sf_dir):
+    """The curation pipeline COMPOSED as one lazy plan — exact dedup
+    (survivor per text hash) -> quality filter (token count + alpha
+    ratio) -> deterministic 1-in-3 systematic sample -> per-language
+    corpus stats. Each stage is individually gated (q17, q24, q34);
+    this gates their composition: one DataFrame chain, no
+    materialization between stages, survivor join on the text hash,
+    every predicate JVM-side."""
+    from mel_tnnt_spark.operators.dedup import exact_dedup
+    from mel_tnnt_spark.operators.sampling import deterministic_sample
+    from mel_tnnt_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = exact_dedup(docs, "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    d = docs.join(surv, "doc_id")
+    q = quality_score(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    kept = q.where((F.col("n_tokens") >= 5) & (F.col("alpha_ratio") >= 0.5))
+    sampled = deterministic_sample(kept, "doc_id", rate_denominator=3)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

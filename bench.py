@@ -60,6 +60,7 @@ HEADLINE = [
     "q67_m14_archive_members",
     "q68_cc_incremental_maintenance",
     "q69_multimodal_resize",
+    "q70_curation_pipeline",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -219,6 +219,7 @@ FUZZ_QUERIES = [
     "q67_m14_archive_members",
     "q68_cc_incremental_maintenance",
     "q69_multimodal_resize",
+    "q70_curation_pipeline",
 ]
 
 
