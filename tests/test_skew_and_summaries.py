@@ -114,3 +114,42 @@ def test_ensemble_intersect(spark, code_files):
     }
     got = {(r["doc_id"], r["entity"], r["start_index"], r["end_index"]) for r in rows}
     assert got == (conll & onto)
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split the hot partition of a skewed join at runtime
+    (task-brief: 'salting for skew, AQE for runtime re-plan' — salting
+    is operators/skew.py; this pins the AQE half). Operational catch
+    pinned here: when the join is followed by an aggregation on the
+    join key, OptimizeSkewedJoin is vetoed unless
+    forceOptimizeSkewedJoin accepts the extra re-shuffle."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        j = left.join(right, "k").groupBy("k").count()
+        got = {r["k"]: r["count"] for r in j.collect()}
+        es = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "skew=true" in es, "AQE did not split the skewed join"
+        # and the answer is still exact under the split
+        assert got[0] == 250_000 and got[1] == 500
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
