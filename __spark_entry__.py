@@ -2383,7 +2383,10 @@ def q70(spark, sf_dir):
         F.col("survivor_id").alias("doc_id")
     )
     d = docs.join(surv, "doc_id")
-    q = quality_score(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    # lang comes straight off the docs scan — doc_id is unique and the
+    # quality side already restricts to survivors, so re-joining the
+    # deduped frame would just duplicate the scan+dedup subtree
+    q = quality_score(d, "doc_id", "text").join(docs.select("doc_id", "lang"), "doc_id")
     kept = q.where((F.col("n_tokens") >= 5) & (F.col("alpha_ratio") >= 0.5))
     sampled = deterministic_sample(kept, "doc_id", rate_denominator=3)
     return sampled.groupBy("lang").agg(
