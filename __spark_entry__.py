@@ -2394,6 +2394,36 @@ def q70(spark, sf_dir):
     )
 
 
+
+
+@_q(
+    "q71_hll_registers",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5('key-' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+      FROM documents),
+    r AS (SELECT h & 255 AS bucket, h >> 8 AS w FROM h)
+    SELECT bucket::BIGINT AS bucket,
+           max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END)::BIGINT AS register
+    FROM r GROUP BY bucket
+    """,
+)
+def q71(spark, sf_dir):
+    """HyperLogLog register table (Flajolet et al. 2007) — the
+    distinct-count sketch companion to the count-min sketch (q51):
+    one codegen hash per row, one map-side-combined groupBy, shuffle
+    capped at 2^p rows regardless of key cardinality. Registers are
+    integer-exact (rho via base-2 string length, no float log2), so
+    the gate is a strict hash match; estimator accuracy and the
+    semigroup merge are property-pinned in tests."""
+    from mel_tnnt_spark.operators.sketch import hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.concat(F.lit("key-"), F.col("doc_id").cast("string")).alias("k"))
+    out = hll_registers(keys, "k", p=8)
+    return out.select(F.col("bucket").cast("long").alias("bucket"), F.col("register").cast("long").alias("register"))
+
+
 # ---------------------------------------------------------------------------
 
 

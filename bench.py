@@ -61,6 +61,7 @@ HEADLINE = [
     "q68_cc_incremental_maintenance",
     "q69_multimodal_resize",
     "q70_curation_pipeline",
+    "q71_hll_registers",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -57,3 +57,74 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, depth: int, w
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .select(F.col("k").alias(key_col), "est")
     )
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_HASH_BITS = 60  # portable md5-60bit base hash (same as the CMS)
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table: (bucket, register) with
+    bucket = low p bits of the portable 60-bit key hash and
+    register = max over keys of rho(w), the 1-based position of the
+    highest set bit counted from the top of the remaining
+    (60-p)-bit window (w == 0 -> 60-p+1, the sentinel for an all-zero
+    window). Flajolet et al. 2007 semantics.
+
+    Relational shape mirrors the count-min sketch: one codegen hash
+    per row, a single map-side-combined groupBy whose shuffle is
+    capped at 2^p rows REGARDLESS of input cardinality — the sketch
+    for distinct-count questions at 100 TB, where exact
+    count(DISTINCT) is a full shuffle of every key. Only non-empty
+    buckets emit a row (absent bucket == register 0); the estimator
+    accounts for them. rho is integer-exact in both engines via the
+    length of the base-2 string (no float log2 near power-of-two
+    boundaries)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    win = HLL_HASH_BITS - p
+    h = F.expr(_h60(key_col))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftrightunsigned(h, p)
+    bits = F.length(F.conv(w.cast("string"), 10, 2))  # floor(log2(w)) + 1, exact
+    rho = F.when(w == 0, F.lit(win + 1)).otherwise(F.lit(win) - bits + 1)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def _h60(key_expr: str) -> str:
+    return f"CAST(conv(substr(md5(CAST({key_expr} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Cardinality estimate from a register table (<= 2^p rows —
+    bounded driver collect, like the CMS probe set). Standard HLL
+    estimator with the small-range linear-counting correction; the
+    large-range correction is unnecessary at 60 hash bits for any
+    realistic cardinality."""
+    import math
+
+    m = 1 << p
+    regs = {r["bucket"]: r["register"] for r in registers.collect()}
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    denom = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    raw = alpha * m * m / denom
+    zeros = m - len([v for v in regs.values() if v > 0])
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max — HLL's semigroup merge (sketch of the union),
+    the property that lets 100 TB partitions sketch independently."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )

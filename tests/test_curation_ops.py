@@ -553,3 +553,38 @@ def test_simhash_pairs_awkward_band_settings(docs):
     # 64-bit width: single band of 64 bits must not overflow the mask
     full = simhash_pairs(docs, "id", "text", bits=64, max_hamming=0).collect()
     assert {(r["id_a"], r["id_b"]) for r in full} == {(1, 2)}
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL registers: estimate within the analytic error band
+    (~1.04/sqrt(m) ~ 6.5% at p=8; assert 3 sigma), semigroup merge ==
+    whole-input sketch, and duplicate keys change nothing."""
+    from mel_tnnt_spark.operators.sketch import hll_estimate, hll_merge, hll_registers
+
+    n = 20_000
+    keys = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    regs = hll_registers(keys, "k", p=8)
+    est = hll_estimate(regs, p=8)
+    assert abs(est - n) / n < 0.20, est
+
+    # duplicates are invisible to a distinct-count sketch
+    dup = keys.unionByName(keys.limit(5000))
+    est_dup = hll_estimate(hll_registers(dup, "k", p=8), p=8)
+    assert est_dup == est
+
+    # semigroup: sketch(A) merge sketch(B) == sketch(A union B)
+    a = keys.where(F.col("k") < "key-5")  # lexicographic split, deterministic
+    b = keys.where(~(F.col("k") < "key-5"))
+    merged = hll_merge(hll_registers(a, "k", p=8), hll_registers(b, "k", p=8))
+    whole = hll_registers(keys, "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_validates_p(spark):
+    from mel_tnnt_spark.operators.sketch import hll_registers
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=3)
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=17)

@@ -220,6 +220,7 @@ FUZZ_QUERIES = [
     "q68_cc_incremental_maintenance",
     "q69_multimodal_resize",
     "q70_curation_pipeline",
+    "q71_hll_registers",
 ]
 
 
