@@ -2424,6 +2424,51 @@ def q71(spark, sf_dir):
     return out.select(F.col("bucket").cast("long").alias("bucket"), F.col("register").cast("long").alias("register"))
 
 
+
+
+@_q(
+    "q72_bm25_ranking",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents),
+    toks_ne AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks_ne
+      WHERE t IN ('spark', 'query', 'table', 'join', 'data', 'filter', 'window')
+      GROUP BY doc_id, t),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl),
+    dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t)
+    SELECT tf.doc_id,
+           round(sum(
+             ln((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dft USING (t)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q72(spark, sf_dir):
+    """BM25 relevance ranking of the corpus against the entity
+    vocabulary — the retrieval-grade topical scorer for mining subsets
+    out of a web-scale corpus. One pass over the token stream (tf
+    restricted map-side to the broadcast query vocabulary, doc lengths
+    from the same explode), corpus stats broadcast back, all codegen
+    arithmetic; the oracle reproduces the Robertson idf and length
+    normalization literally."""
+    from mel_tnnt_spark.operators.textstats import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", list(ENTITY_VOCAB))
+
+
 # ---------------------------------------------------------------------------
 
 

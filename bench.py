@@ -62,6 +62,7 @@ HEADLINE = [
     "q69_multimodal_resize",
     "q70_curation_pipeline",
     "q71_hll_registers",
+    "q72_bm25_ranking",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

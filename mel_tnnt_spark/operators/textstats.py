@@ -85,3 +85,58 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     overlap detection is shingles+minhash in operators/dedup.py)."""
     norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of each document to a bag of query terms
+    (Robertson/Sparck Jones probabilistic idf, the '+1' form that keeps
+    idf positive) — the retrieval-grade scorer a curation pipeline uses
+    to mine topical subsets from a web-scale corpus.
+
+    Fully relational, one pass over the token stream: term frequencies
+    and document lengths come from ONE map-side-combined aggregate over
+    the exploded tokens (term rows are pre-filtered to the broadcast
+    query vocabulary, so non-query terms die map-side); corpus stats
+    (N, avgdl) and per-term document frequencies are tiny aggregates
+    broadcast back. No UDFs; every formula term is codegen
+    arithmetic. Docs matching no query term score 0 and are omitted."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
+    # doc length over ALL tokens; tf restricted to query terms —
+    # grouping sets would fuse these, but dl needs every token while tf
+    # keeps only the vocabulary, so two skinny aggregates beat one wide
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.where(F.col("t").isin(list(query_terms)))
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(F.count("*").alias("n")).withColumn("_j", F.lit(1))
+    avgdl = dl.select(F.avg("dl").alias("avgdl")).withColumn("_j", F.lit(1))
+    df_t = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    scored = (
+        tf.join(dl, "id")
+        .join(F.broadcast(df_t), "t")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(n_docs), "_j")
+        .join(F.broadcast(avgdl), "_j")
+    )
+    idf = F.log((F.col("n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .select(F.col("id").alias(id_col), "bm25")
+    )

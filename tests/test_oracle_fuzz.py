@@ -221,6 +221,7 @@ FUZZ_QUERIES = [
     "q69_multimodal_resize",
     "q70_curation_pipeline",
     "q71_hll_registers",
+    "q72_bm25_ranking",
 ]
 
 
