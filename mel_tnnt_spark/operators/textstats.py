@@ -122,19 +122,24 @@ def bm25_scores(
         .groupBy("id", "t")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = df.select(F.count("*").alias("n")).withColumn("_j", F.lit(1))
-    avgdl = dl.select(F.avg("dl").alias("avgdl")).withColumn("_j", F.lit(1))
-    df_t = tf.groupBy("t").agg(F.count("*").alias("df_t"))
-    scored = (
-        tf.join(dl, "id")
-        .join(F.broadcast(df_t), "t")
-        .withColumn("_j", F.lit(1))
-        .join(F.broadcast(n_docs), "_j")
-        .join(F.broadcast(avgdl), "_j")
-    )
+    # corpus scalars (N, avgdl) fold into the |vocabulary|-row term dim
+    # BEFORE touching the fact table, so the dim carries idf and avgdl
+    # pre-computed and the fact side sees exactly two equi-joins (dl on
+    # id, enriched dim broadcast on t) — the 1-row scalar cross-joins
+    # happen only on the tiny dim, never against the token-derived rows
+    n_docs = df.select(F.count("*").alias("n"))
+    avgdl = dl.select(F.avg("dl").alias("avgdl"))
     idf = F.log((F.col("n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    term_dim = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df_t"))
+        .crossJoin(n_docs)
+        .crossJoin(avgdl)
+        .select("t", idf.alias("idf"), "avgdl")
+    )
+    scored = tf.join(dl, "id").join(F.broadcast(term_dim), "t")
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    term_score = F.col("idf") * F.col("tf") * (k1 + 1.0) / denom
     return (
         scored.groupBy("id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
