@@ -2469,6 +2469,45 @@ def q72(spark, sf_dir):
     return bm25_scores(docs, "doc_id", "text", list(ENTITY_VOCAB))
 
 
+
+
+@_q(
+    "q73_winnowing_overlap",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents WHERE doc_id < 150),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS h
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+    fp0 AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      FROM sh),
+    rare AS (SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) <= 50),
+    fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q73(spark, sf_dir):
+    """Winnowing partial-overlap pairs (Schleimer et al. 2003, MOSS) —
+    contamination detection: positional shingle hashes -> running
+    window minima -> distinct fingerprints -> df-guarded inverted-
+    index self-join counting shared fingerprints. Complements the
+    whole-document near-dup family (q18/q35/q62/q28): a copied
+    paragraph inside an otherwise-different document shares
+    fingerprints even when whole-set similarity is negligible."""
+    from mel_tnnt_spark.operators.dedup import overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return overlap_pairs(docs, "doc_id", "text", n=3, window=4, min_shared=2, max_df=50)
+
+
 # ---------------------------------------------------------------------------
 
 

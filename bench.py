@@ -63,6 +63,7 @@ HEADLINE = [
     "q70_curation_pipeline",
     "q71_hll_registers",
     "q72_bm25_ranking",
+    "q73_winnowing_overlap",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -420,3 +420,69 @@ def simhash_pairs(
         )
     )
     return cand.where(F.col("hamming") <= max_hamming).distinct()
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm, at word-shingle granularity):
+    hash every positional n-gram, slide a window of `window`
+    consecutive positions, keep each window's MINIMUM hash; the
+    distinct minima are the document's fingerprints. Guarantees of the
+    scheme: any shared substring of >= window+n-1 tokens yields at
+    least one shared fingerprint, while storage shrinks ~2/(window+1)
+    of the shingle count — the PARTIAL-overlap / contamination
+    detector, complementing whole-document near-dup (Jaccard/MinHash/
+    SimHash operate on whole-set similarity and miss a paragraph
+    copied into an otherwise-different document).
+
+    Variant note: canonical winnowing breaks min ties by rightmost
+    position; keeping the distinct minima VALUES (position-free) has
+    identical detection power for set-intersection queries and stays a
+    pure relational window-min — one explode, one running-window min,
+    one distinct. Output: (id, fingerprint) rows."""
+    from pyspark.sql.window import Window
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_shingle_array(text_col, n)).alias("pos", "shingle"),
+    ).select("id", "pos", F.expr(_h("shingle")).alias("h"))
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        sh.select("id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    partial-overlap candidates via the same inverted-index equi-join
+    shape as the Jaccard path (never all-pairs; max_df drops
+    boilerplate fingerprints shared by everything, the same 100-TB
+    hot-key guard as ngram_jaccard_pairs)."""
+    fp = winnowing_fingerprints(df, id_col, text_col, n, window)
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(rare, "fingerprint")
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), "fingerprint")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -588,3 +588,29 @@ def test_hll_validates_p(spark):
         hll_registers(df, "k", p=3)
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=17)
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    """The winnowing guarantee: a shared run of >= window+n-1 tokens
+    yields at least one shared fingerprint, so a paragraph copied into
+    an otherwise-different document is detected — while whole-document
+    near-dup (Jaccard at any practical threshold) misses it."""
+    from mel_tnnt_spark.operators.dedup import overlap_pairs, winnowing_fingerprints
+
+    stolen = "the quick brown fox jumps over the lazy dog tonight again"
+    a = stolen + " plus entirely unrelated trailing content about spark shuffles"
+    b = "completely different opening words precede it " + stolen
+    c = "no overlap here at all just other tokens entirely different ones"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id int, text string")
+
+    fp = winnowing_fingerprints(df, "id", "text", n=3, window=4)
+    f1 = {r["fingerprint"] for r in fp.where("id = 1").collect()}
+    f2 = {r["fingerprint"] for r in fp.where("id = 2").collect()}
+    assert f1 & f2, "shared 11-token run must share a fingerprint (w+n-1=6)"
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in overlap_pairs(df, "id", "text", min_shared=2, max_df=None).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -222,6 +222,7 @@ FUZZ_QUERIES = [
     "q70_curation_pipeline",
     "q71_hll_registers",
     "q72_bm25_ranking",
+    "q73_winnowing_overlap",
 ]
 
 
