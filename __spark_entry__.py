@@ -2428,7 +2428,7 @@ def q71(spark, sf_dir):
 
 @_q(
     "q72_bm25_ranking",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
       FROM documents),
@@ -2436,7 +2436,7 @@ def q71(spark, sf_dir):
     dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id),
     tf AS (
       SELECT doc_id, t, count(*) AS tf FROM toks_ne
-      WHERE t IN ('spark', 'query', 'table', 'join', 'data', 'filter', 'window')
+      WHERE t IN ({", ".join("'" + t + "'" for t in ENTITY_VOCAB)})
       GROUP BY doc_id, t),
     stats AS (
       SELECT (SELECT count(*) FROM documents) AS n,

@@ -81,8 +81,8 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowered
-    text (stable across engines; the rolling-hash variant for partial
-    overlap detection is shingles+minhash in operators/dedup.py)."""
+    text (stable across engines). For PARTIAL-overlap / contamination
+    detection use dedup.winnowing_fingerprints / overlap_pairs."""
     norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
@@ -100,27 +100,32 @@ def bm25_scores(
     idf positive) — the retrieval-grade scorer a curation pipeline uses
     to mine topical subsets from a web-scale corpus.
 
-    Fully relational, one pass over the token stream: term frequencies
-    and document lengths come from ONE map-side-combined aggregate over
-    the exploded tokens (term rows are pre-filtered to the broadcast
-    query vocabulary, so non-query terms die map-side); corpus stats
-    (N, avgdl) and per-term document frequencies are tiny aggregates
-    broadcast back. No UDFs; every formula term is codegen
-    arithmetic. Docs matching no query term score 0 and are omitted."""
+    Fully relational, ONE pass over the token stream: a single
+    map-side-combined aggregate groups by (doc, term-if-in-vocabulary)
+    — non-query terms collapse into one null-term row per doc map-side
+    — so term frequencies AND document lengths both derive from its
+    <= |vocab|+1 rows per doc; corpus stats (N, avgdl) and per-term
+    document frequencies are tiny aggregates folded into the broadcast
+    term dim. No UDFs; every formula term is codegen arithmetic. Docs
+    matching no query term score 0 and are omitted."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
         ).alias("t"),
     )
-    # doc length over ALL tokens; tf restricted to query terms —
-    # grouping sets would fuse these, but dl needs every token while tf
-    # keeps only the vocabulary, so two skinny aggregates beat one wide
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    tf = (
-        toks.where(F.col("t").isin(list(query_terms)))
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("tf"))
+    # ONE aggregate over the token stream: vocabulary terms keep their
+    # identity, everything else collapses into a per-doc null-term row
+    # map-side — dl (all tokens) and tf (query terms) both read off the
+    # collapsed <= |vocab|+1 rows per doc, so the expensive
+    # scan+split+explode runs once, not twice
+    counts = toks.groupBy(
+        "id",
+        F.when(F.col("t").isin(list(query_terms)), F.col("t")).alias("t"),
+    ).agg(F.count("*").alias("c"))
+    dl = counts.groupBy("id").agg(F.sum("c").alias("dl"))
+    tf = counts.where(F.col("t").isNotNull()).select(
+        "id", "t", F.col("c").alias("tf")
     )
     # corpus scalars (N, avgdl) fold into the |vocabulary|-row term dim
     # BEFORE touching the fact table, so the dim carries idf and avgdl
