@@ -1,4 +1,4 @@
-"""Randomized-corpus oracle fuzz: ALL 49 query/oracle pairs must
+"""Randomized-corpus oracle fuzz: the query/oracle pairs below must
 agree on ADVERSARIAL data, not just the driver's well-behaved testdata:
 
 - documents: empty/whitespace/unicode/regex-metachar text, giant
