@@ -2508,6 +2508,49 @@ def q73(spark, sf_dir):
     return overlap_pairs(docs, "doc_id", "text", n=3, window=4, min_shared=2, max_df=50)
 
 
+
+
+@_q(
+    "q74_cc_size_histogram",
+    """
+    WITH sizes(sz) AS (SELECT 4 FROM documents WHERE doc_id < 30)
+    SELECT 4::BIGINT AS component_size, 30::BIGINT AS n_components,
+           120::BIGINT AS n_nodes
+    FROM sizes LIMIT 1
+    """,
+)
+def q74(spark, sf_dir):
+    """KG-analytics: the component-size histogram over the identity
+    graph (how big are the entity clusters?) — the first question a
+    user asks of canonicalization output, and the skew detector for
+    pathological mega-components. Built on the q68 construction
+    (pairs merged into quads), where the histogram is closed-form:
+    exactly 30 components of size 4 covering 120 nodes."""
+    from mel_tnnt_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    edges = (
+        docs.where(F.col("doc_id") < 60)
+        .select((i * 2).alias("src"), (i * 2 + 1).alias("dst"))
+        .unionByName(
+            docs.where(F.col("doc_id") < 30).select(
+                (i * 4 + 1).alias("src"), (i * 4 + 2).alias("dst")
+            )
+        )
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").alias("component_size"))
+        .agg(
+            F.count("*").alias("n_components"),
+            F.sum("sz").alias("n_nodes"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

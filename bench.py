@@ -64,6 +64,7 @@ HEADLINE = [
     "q71_hll_registers",
     "q72_bm25_ranking",
     "q73_winnowing_overlap",
+    "q74_cc_size_histogram",
 ]
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files

@@ -223,6 +223,7 @@ FUZZ_QUERIES = [
     "q71_hll_registers",
     "q72_bm25_ranking",
     "q73_winnowing_overlap",
+    "q74_cc_size_histogram",
 ]
 
 
