@@ -2483,10 +2483,14 @@ def q72(spark, sf_dir):
       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
       WHERE len(ws) >= 3),
     fp0 AS (
-      SELECT DISTINCT doc_id,
-             min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
-      FROM sh),
+      SELECT DISTINCT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               min(h) OVER win AS fingerprint,
+               count(*) OVER win AS _n
+        FROM sh
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+      WHERE _n = 4),
     rare AS (SELECT fingerprint FROM fp0 GROUP BY fingerprint HAVING count(*) <= 50),
     fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (fingerprint))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
@@ -2552,11 +2556,50 @@ def q74(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Registration order (round-4 rotation): the driver's correctness
+# harness evaluates only the FIRST 50 registered queries —
+# CORRECTNESS_r03.json contains exactly the first 50 names in
+# round-3 file order and stops at q52. To get driver-certified rows
+# for the 22 queries it never reached (q53–q74) plus this round's new
+# gates, queries() yields names NOT yet driver-certified first (in
+# definition order), then the already-certified ones. Queries pushed
+# past slot 50 this round keep their green CORRECTNESS_r03.json rows;
+# the rotation is documented in COVERAGE.md.
+
+_R03_DRIVER_CERTIFIED = frozenset({
+    "q01_a1_pricing_summary", "q02_j1_broadcast_join_agg",
+    "q03_j1_multijoin_revenue_by_nation", "q04_w3_latest_event_per_user",
+    "q05_a13_time_span_per_type", "q06_a9_value_buckets",
+    "q07_j5_customers_without_orders", "q08_so2_shared_vocabulary",
+    "q09_j4_duplicate_orderkeys", "q10_a2_keyword_counts",
+    "q11_a3_pattern_match_counts", "q12_j6_containment_mentions",
+    "q13_a8_stats_per_lang", "q14_a5_rollup_lang_source",
+    "q15_w2_pagination", "q16_w4_topk_docs", "q17_dd_exact_dedup",
+    "q18_dd_ngram_jaccard_pairs", "q19_dd_minhash_signatures",
+    "q20_dd_simhash", "q21_sim_cosine_topk", "q22_sim_bucketed_ann",
+    "q23_ts_lang_id", "q24_ts_quality_score", "q25_ts_fingerprint",
+    "q26_ts_token_count", "q28_cc_embedding_graph", "q30_a8_mode_quantity_per_flag",
+    "q31_p9_json_path", "q32_f16_wildcard_search", "q33_s4_regex_scan",
+    "q34_m15_deterministic_sample", "q35_dd_lsh_pairs",
+    "q36_j6_large_vocab_containment", "q37_j2_lookup_with_fallback",
+    "q38_a8_multimode_chars_per_lang", "q39_p2_only_startfrom",
+    "q40_j10_group_by_folder", "q41_s13_xml_metadata",
+    "q42_p10_recursive_key_search", "q43_f15_deep_merge",
+    "q44_sim_multiprobe_ann", "q45_sim_ivf_ann", "q46_w_session_windows",
+    "q47_w_analytic_running_revenue", "q48_asof_join_last_purchase",
+    "q49_range_join_clicks_in_window", "q50_hypertable_rollup",
+    "q51_count_min_sketch", "q52_m12_pos_dep_tokens",
+})
+
+
+def _rotated(names):
+    fresh = [n for n in names if n not in _R03_DRIVER_CERTIFIED]
+    return fresh + [n for n in names if n in _R03_DRIVER_CERTIFIED]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_Q)
+    return {n: _Q[n] for n in _rotated(_Q)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_SQL)
+    return {n: _SQL[n] for n in _rotated(_Q) if n in _SQL}

@@ -178,6 +178,14 @@ def minhash_signatures(
     return agg.select("id", F.expr(f"stack({k}, {stack}) AS (seed, minhash)"))
 
 
+def band_widths(k: int, bands: int) -> list[int]:
+    """Floor/ceil seed-count split: exactly `bands` entries, each >= 1,
+    summing to k; the first k % bands bands take the extra seed. Shared
+    by minhash_lsh_pairs (and mirrors simhash_pairs' bit split)."""
+    base, rem = divmod(k, bands)
+    return [base + 1] * rem + [base] * (bands - rem)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -195,13 +203,16 @@ def minhash_lsh_pairs(
     Band buckets come straight off the one-row-per-doc aggregate — no
     collect_list regroup; beyond the signature groupBy the only
     shuffle is the candidate equi-join on (band, bucket). When bands
-    does not divide k, the trailing k % (k // bands) minhashes form
-    one extra (narrower) band — no seed is silently dropped."""
+    does not divide k, widths are distributed floor/ceil (the first
+    k % bands bands get one extra seed, like simhash_pairs) so exactly
+    `bands` bands are produced and no seed is silently dropped — a
+    ceil-only split could exceed the requested band count and steepen
+    the LSH s-curve beyond what the caller asked for (round-4 advice)."""
     if not 1 <= bands <= k:
         raise ValueError(f"bands must be in [1, {k}], got {bands}")
-    rows_per_band = k // bands
     agg = _minhash_agg(df, id_col, text_col, n, k)
-    n_bands_eff = -(-k // rows_per_band)  # ceil: remainder seeds get a band
+    widths = band_widths(k, bands)
+    offsets = [sum(widths[:b]) for b in range(bands)]
     band_structs = F.array(
         *[
             F.struct(
@@ -211,14 +222,12 @@ def minhash_lsh_pairs(
                         ",",
                         *[
                             F.col(f"m{i}").cast("string")
-                            for i in range(
-                                b * rows_per_band, min((b + 1) * rows_per_band, k)
-                            )
+                            for i in range(off, off + w)
                         ],
                     )
                 ).alias("bucket"),
             )
-            for b in range(n_bands_eff)
+            for b, (off, w) in enumerate(zip(offsets, widths))
         ]
     )
     banded = agg.select("id", F.explode(band_structs).alias("bb")).select(
@@ -441,7 +450,14 @@ def winnowing_fingerprints(
     position; keeping the distinct minima VALUES (position-free) has
     identical detection power for set-intersection queries and stays a
     pure relational window-min — one explode, one running-window min,
-    one distinct. Output: (id, fingerprint) rows."""
+    one distinct. Only FULL windows emit a fingerprint (n_shingles −
+    window + 1 windows, the canonical count): the same frame carries a
+    count(*) and truncated trailing windows are dropped, so two docs
+    merely ending in the same shingle do not share a spurious
+    fingerprint (round-4 advice). Docs with fewer than `window`
+    shingles produce no fingerprints — below the w+n−1-token guarantee
+    floor there is nothing winnowing can promise anyway. Output:
+    (id, fingerprint) rows."""
     from pyspark.sql.window import Window
 
     sh = df.select(
@@ -450,7 +466,13 @@ def winnowing_fingerprints(
     ).select("id", "pos", F.expr(_h("shingle")).alias("h"))
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
-        sh.select("id", F.min("h").over(w).alias("fingerprint"))
+        sh.select(
+            "id",
+            F.min("h").over(w).alias("fingerprint"),
+            F.count("*").over(w).alias("_n"),
+        )
+        .where(F.col("_n") == window)
+        .select("id", "fingerprint")
         .distinct()
     )
 

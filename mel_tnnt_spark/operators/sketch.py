@@ -106,11 +106,28 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
     bounded driver collect, like the CMS probe set). Standard HLL
     estimator with the small-range linear-counting correction; the
     large-range correction is unnecessary at 60 hash bits for any
-    realistic cardinality."""
+    realistic cardinality.
+
+    The register table does not carry p, so a mismatched p here would
+    silently corrupt alpha, the denominator, and the linear-counting
+    branch — the collected registers are validated against p (every
+    bucket < 2^p, every register <= 60-p+1) and a mismatch raises
+    (round-4 advice)."""
     import math
 
     m = 1 << p
     regs = {r["bucket"]: r["register"] for r in registers.collect()}
+    win = HLL_HASH_BITS - p
+    for b, v in regs.items():
+        if not 0 <= b < m:
+            raise ValueError(
+                f"register table inconsistent with p={p}: bucket {b} >= 2^{p}"
+            )
+        if not 0 < v <= win + 1:
+            raise ValueError(
+                f"register table inconsistent with p={p}: register {v} "
+                f"outside [1, {win + 1}]"
+            )
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
     denom = sum(2.0 ** -regs.get(b, 0) for b in range(m))
     raw = alpha * m * m / denom

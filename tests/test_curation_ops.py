@@ -514,10 +514,13 @@ def test_minhash_seeds_are_independent(spark):
 
 
 def test_minhash_lsh_remainder_band_and_validation(docs):
-    from mel_tnnt_spark.operators.dedup import minhash_lsh_pairs
+    """When bands does not divide k, widths distribute floor/ceil so
+    EXACTLY `bands` bands are produced (k=10, bands=4 -> 3/3/2/2) and
+    every seed lands in some band — a ceil-only split used to emit
+    extra 1-seed bands, steepening the s-curve past what the caller
+    asked for (round-4 advice)."""
+    from mel_tnnt_spark.operators.dedup import band_widths, minhash_lsh_pairs
 
-    # k=10, bands=4 -> rows_per_band=2, FIVE effective bands; trailing
-    # seeds 8-9 still contribute a band (round-3 self-review regression)
     cand = {
         (r["id_a"], r["id_b"])
         for r in minhash_lsh_pairs(docs, "id", "text", n=3, k=10, bands=4).collect()
@@ -527,6 +530,14 @@ def test_minhash_lsh_remainder_band_and_validation(docs):
         minhash_lsh_pairs(docs, "id", "text", k=8, bands=0)
     with pytest.raises(ValueError):
         minhash_lsh_pairs(docs, "id", "text", k=8, bands=9)
+    # band-count contract: exactly `bands` bands, every width >= 1,
+    # widths sum to k (k=7, bands=4 used to blow up to 7 bands)
+    assert band_widths(10, 4) == [3, 3, 2, 2]
+    assert band_widths(7, 4) == [2, 2, 2, 1]
+    assert band_widths(16, 4) == [4, 4, 4, 4]
+    for k, bands in [(7, 4), (10, 4), (16, 16), (5, 1), (64, 7)]:
+        ws = band_widths(k, bands)
+        assert len(ws) == bands and sum(ws) == k and min(ws) >= 1
 
 
 def test_simhash_pairs_awkward_band_settings(docs):
@@ -588,6 +599,59 @@ def test_hll_validates_p(spark):
         hll_registers(df, "k", p=3)
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=17)
+
+
+def test_hll_estimate_rejects_mismatched_p(spark):
+    """hll_estimate(p) on a register table built with a different p
+    must raise, not silently return a badly wrong estimate (round-4
+    advice): wrong-direction mismatches are caught by the bucket-range
+    check (built p=8, estimated p=4) or the register-range check."""
+    from mel_tnnt_spark.operators.sketch import hll_estimate, hll_registers
+
+    keys = spark.range(5000).select(F.concat(F.lit("k-"), F.col("id")).alias("k"))
+    regs8 = hll_registers(keys, "k", p=8)
+    with pytest.raises(ValueError, match="inconsistent with p=4"):
+        hll_estimate(regs8, p=4)
+    # the matched call still works
+    assert abs(hll_estimate(regs8, p=8) - 5000) / 5000 < 0.25
+
+
+def _py_winnow(text: str, n: int, window: int) -> set[int]:
+    """Independent hashlib mirror of winnowing_fingerprints' contract:
+    md5-60bit shingle hashes, minima of FULL windows only, distinct."""
+    import hashlib
+    import re as _re
+
+    toks = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+    ]
+    return {
+        min(hs[i : i + window]) for i in range(len(hs) - window + 1)
+    } if len(hs) >= window else set()
+
+
+def test_winnowing_full_windows_only(spark):
+    """Canonical window count (round-4 advice): truncated trailing
+    windows are dropped — a doc with s shingles takes minima over
+    exactly s-window+1 full windows (pinned against an independent
+    hashlib mirror), and a doc with fewer than `window` shingles
+    fingerprints to nothing (previously its final shingle was ALWAYS
+    a fingerprint via the width-1 truncated window)."""
+    from mel_tnnt_spark.operators.dedup import winnowing_fingerprints
+
+    a = "a b c d e f g h i j k l"
+    b = "z y x w v u t s r q j k l"
+    tiny = "one two three four five"  # 3 shingles < window=4
+    df = spark.createDataFrame([(1, a), (2, b), (3, tiny)], "id int, text string")
+
+    fp = {1: set(), 2: set(), 3: set()}
+    for r in winnowing_fingerprints(df, "id", "text", n=3, window=4).collect():
+        fp[r["id"]].add(r["fingerprint"])
+    assert fp[1] == _py_winnow(a, 3, 4)
+    assert fp[2] == _py_winnow(b, 3, 4)
+    assert fp[3] == set(), "sub-window doc must emit no fingerprints"
 
 
 def test_winnowing_detects_partial_overlap(spark):

@@ -102,3 +102,20 @@ def test_pair_generators_have_no_cartesian(spark):
     ):
         df = e.queries()[name](spark, SF)
         assert plan_flags(df)["cartesian"] == 0, f"{name} plans an all-pairs join"
+
+
+def test_plans_audit_covers_every_registered_query():
+    """PLANS.md must have one row per queries() entry (VERDICT r3 #2:
+    the q74 row went missing when a late-round query landed without a
+    dump_plans.py rerun) — the audit can't silently drift again."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    txt = (Path(__file__).resolve().parent.parent / "PLANS.md").read_text()
+    rows = set(re.findall(r"^\| (q\d+\w*) \|", txt, flags=re.M))
+    missing = sorted(set(e.queries()) - rows)
+    extra = sorted(rows - set(e.queries()))
+    assert not missing, f"PLANS.md missing rows for {missing}: rerun scripts/dump_plans.py"
+    assert not extra, f"PLANS.md has rows for unregistered queries {extra}"
