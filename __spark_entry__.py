@@ -2555,6 +2555,97 @@ def q74(spark, sf_dir):
     )
 
 
+@_q(
+    "q75_m_nltk_category_rescan",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS doc_id,
+             (3 + length(doc_id::VARCHAR))::INT AS L,
+             'Dup' || doc_id AS ent
+      FROM documents WHERE doc_id < 60),
+    s AS (
+      SELECT *, ent || ' mid' || doc_id || ' ' || ent || ' ' || ent AS txt
+      FROM d)
+    SELECT doc_id, 'nltk_rescan_model' AS model, u.category,
+           ent AS entity, u.s::INT AS start_index, u.e::INT AS end_index,
+           txt AS sentence
+    FROM s, UNNEST([
+      {'category': 'QCAT', 's': 0,       'e': L},
+      {'category': 'QCAT', 's': 2*L + 2, 'e': 3*L + 2},
+      {'category': 'PCAT', 's': 0,       'e': L}
+    ]) AS t(u)
+    """,
+)
+def q75(spark, sf_dir):
+    """The NLTK branch's per-category offset RESTART quirk
+    (NLTKNer.get_nltk_entities, code/NLP_NER/EntityRecognition.py:
+    671-693) — the last un-gated offset semantics in the reference:
+    each category's text.find scan restarts at 0, so the same surface
+    under two categories gets FIRST-occurrence offsets in both scans.
+    Template 'Dup<i> mid<i> Dup<i> Dup<i>' (D-tokens alternate
+    QCAT/PCAT by occurrence): PCAT's chunk is REALLY the second
+    occurrence (at 2L+2) but reports start 0 — exactly what the
+    reference emits; QCAT's second chunk advances to 2L+2. The oracle
+    states all three offsets closed-form."""
+    from mel_tnnt_spark.operators.mentions import detect_mentions
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    i = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Dup"), i, F.lit(" mid"), i, F.lit(" Dup"), i, F.lit(" Dup"), i
+    )
+    src = docs.select(i.alias("doc_id"), text.alias("content"))
+    return detect_mentions(src, models=("nltk_rescan_model",), text_col="content")
+
+
+@_q(
+    "q76_a14_csv_ner_merge_order",
+    """
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS doc_id,
+             upper(substr(lang, 1, 1)) || substr(lang, 2) AS lcap,
+             length(lang)::INT AS L
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id, u.ci::INT AS cell_index, 'token_rule_model' AS model,
+           'CAPSEQ' AS category, u.ent AS entity,
+           u.s::INT AS start_index, u.e::INT AS end_index,
+           u.sent AS sentence, u.o::INT AS merge_ord,
+           4::BIGINT AS category_count
+    FROM d, UNNEST([
+      {'ci': 0, 'ent': 'Zed',   's': 0,  'e': 3,      'sent': 'Zed meets ' || lcap, 'o': 1},
+      {'ci': 0, 'ent': lcap,    's': 10, 'e': 10 + L, 'sent': 'Zed meets ' || lcap, 'o': 2},
+      {'ci': 1, 'ent': lcap,    's': 0,  'e': L,      'sent': lcap || ' waves',     'o': 3},
+      {'ci': 2, 'ent': 'Quiet', 's': 0,  'e': 5,      'sent': 'Quiet end',          'o': 4}
+    ]) AS t(u)
+    """,
+)
+def q76(spark, sf_dir):
+    """The CSV NER merge-order contract (get_csv_ner_from_models,
+    code/NLP_NER/EntityRecognition.py:936-992): per (model, category)
+    the per-cell mention lists concatenate in CELL order and the
+    number-of-entities stat counts the merged list. Three template
+    cells per doc ('Zed meets <Lang>' / '<Lang> waves' / 'Quiet end')
+    produce four CAPSEQ mentions whose merged positions 1-4 and
+    per-category count the oracle states literally; offsets stay
+    cell-relative. Row-order independence is property-pinned in
+    test_csv_ner_merge_order_stability."""
+    from mel_tnnt_spark.operators.mentions import csv_ner_merge
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    lcap = F.concat(F.upper(F.substring("lang", 1, 1)), F.expr("substring(lang, 2)"))
+    cells = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(
+            F.array(
+                F.concat(F.lit("Zed meets "), lcap),
+                F.concat(lcap, F.lit(" waves")),
+                F.lit("Quiet end"),
+            )
+        ).alias("cell_index", "cell_text"),
+    )
+    return csv_ner_merge(cells, models=("token_rule_model",))
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-4 rotation): the driver's correctness
 # harness evaluates only the FIRST 50 registered queries —

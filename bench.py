@@ -65,7 +65,16 @@ HEADLINE = [
     "q72_bm25_ranking",
     "q73_winnowing_overlap",
     "q74_cc_size_histogram",
+    "q75_m_nltk_category_rescan",
+    "q76_a14_csv_ner_merge_order",
 ]
+
+# Registered queries deliberately NOT in the headline timing loop —
+# each ran <0.1 s at sf0.1 when last measured, so per-query timing is
+# VM noise, not signal; they stay covered by the correctness gate,
+# the fuzz corpus, and the plan audit. Listed in the bench JSON
+# ("skipped") so the cap is explicit, never silent (VERDICT r3 #10).
+SKIP_REASON = "sub-0.1s at sf0.1: timing would be VM noise; correctness+plan gated"
 
 KG_ROWS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
 
@@ -118,6 +127,7 @@ def main() -> None:
     shutil.rmtree(out, ignore_errors=True)
     total += kg_sec
 
+    skipped = sorted(set(qs) - set(HEADLINE))
     print(
         json.dumps(
             {
@@ -125,6 +135,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {**timings, "kg_pipeline": round(kg_sec, 3)},
+                "skipped": {"names": skipped, "reason": SKIP_REASON},
                 "sf": sf,
                 "kg": {
                     "source_rows": n_rows,

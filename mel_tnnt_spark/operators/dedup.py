@@ -40,13 +40,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_array(text_col: str, n: int):
-    """Word n-gram shingles as a per-row ARRAY: normalize -> split ->
-    sliding window, all JVM-side. THE single source of truth for the
-    shingle definition — shingles() explodes this array, MinHash folds
-    it. Duplicates are kept (min() is insensitive; the Jaccard path
-    dedups after the explode)."""
-    w = F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
+def _shingle_array(w, n: int):
+    """Word n-gram shingles as a per-row ARRAY from a MATERIALIZED
+    token-array column `w` — THE single source of truth for the shingle
+    definition (shingles() explodes this array, MinHash folds it,
+    winnowing posexplodes it). Duplicates are kept (min() is
+    insensitive; the Jaccard path dedups after the explode).
+
+    `w` must be a column reference to an already-projected token array,
+    never the tokenize expression itself: this builder references `w`
+    three times, and CollapseProject deliberately keeps multi-referenced
+    non-cheap aliases in their own projection — inlining the
+    regexp_replace+lower+trim+split here made codegen evaluate the
+    tokenization THREE times per row (the round-3 q18 +48% regression;
+    A/B in BENCH.md: 7.3 s -> 3.0 s on the sf0.1 Jaccard harness)."""
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -56,12 +63,33 @@ def _shingle_array(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _w) with the normalize+split tokenization materialized in
+    its own projection (see _shingle_array's contract)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ").alias(
+            "_w"
+        ),
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, positional: bool = False
+) -> DataFrame:
+    """(id, shingle) — or (id, pos, shingle) — long form, tokenizing
+    once per row."""
+    arr = _shingle_array(F.col("_w"), n)
+    toks = _tokenized(df, id_col, text_col)
+    if positional:
+        return toks.select("id", F.posexplode(arr).alias("pos", "shingle"))
+    return toks.select("id", F.explode(arr).alias("shingle"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """DISTINCT word n-gram shingle set per doc (long form) — the
     inverted-index side of the Jaccard path."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
-    ).distinct()
+    return _exploded_shingles(df, id_col, text_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -153,9 +181,7 @@ def _minhash_agg(df: DataFrame, id_col: str, text_col: str, n: int, k: int) -> D
     (the earlier formulations either shuffled |shingles| x k exploded
     rows or paid interpreted higher-order-function evaluation, ~2-3x
     slower than codegen; A/B numbers in BENCH.md)."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
-    )
+    ex = _exploded_shingles(df, id_col, text_col, n)
     h31 = F.expr(_h("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))
     hashed = ex.select("id", h31.alias("h"))
     return hashed.groupBy("id").agg(
@@ -460,10 +486,9 @@ def winnowing_fingerprints(
     (id, fingerprint) rows."""
     from pyspark.sql.window import Window
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_shingle_array(text_col, n)).alias("pos", "shingle"),
-    ).select("id", "pos", F.expr(_h("shingle")).alias("h"))
+    sh = _exploded_shingles(df, id_col, text_col, n, positional=True).select(
+        "id", "pos", F.expr(_h("shingle")).alias("h")
+    )
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         sh.select(

@@ -147,6 +147,58 @@ def bio_chunks(tagged: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+def nltk_category_rescan_spans(
+    text: str,
+    chunks: list[tuple[str, str]],
+    categories: tuple[str, ...],
+) -> list[tuple[str, str, int, int]]:
+    """The reference NLTK branch's per-category offset RESTART
+    (NLTKNer.get_nltk_entities, code/NLP_NER/EntityRecognition.py:
+    671-693): for EACH category the running `text.find(entity, offset)`
+    scan restarts at offset 0 and re-walks the full chunk list in chunk
+    order — unlike the single-pass running offset every other branch
+    uses (get_entity_label_lists, 878-887).
+
+    Duck-typed quirks preserved byte-for-byte:
+    - a surface appearing under TWO categories gets FIRST-occurrence
+      offsets in both per-category scans (each scan starts at 0 and
+      knows nothing of the other category's consumption);
+    - within one category the scan advances past each match, so a
+      category's chunks map to successive occurrences even when the
+      chunk's true position lies further right;
+    - a failed find KEEPS the item with start=-1 and end=len-1, and the
+      offset still advances from -1 (the reference has no found-check).
+    Chunks whose category is not in `categories` are dropped, exactly
+    like the reference's `if chunk.label() == category` filter."""
+    out: list[tuple[str, str, int, int]] = []
+    for category in categories:
+        offset = 0
+        for entity_text, cat in chunks:
+            if cat != category:
+                continue
+            offset = text.find(entity_text, offset)
+            out.append((category, entity_text, offset, offset + len(entity_text)))
+            offset += len(entity_text)
+    return out
+
+
+def _nltk_rescan_detector() -> Detector:
+    """NLTK-branch execution shape with a deterministic chunker:
+    tokens starting with 'D' are entity chunks, alternating category
+    QCAT/PCAT by occurrence index (a stand-in for ne_chunk's
+    context-dependent labels, which is what makes the same surface
+    appear under two categories). Offsets come from
+    nltk_category_rescan_spans — the per-category restart quirk."""
+    cats = ("QCAT", "PCAT")
+
+    def detect(text: str) -> list[tuple[str, str, int, int]]:
+        d_toks = [t for t in text.split() if t.startswith("D")]
+        chunks = [(t, cats[i % 2]) for i, t in enumerate(d_toks)]
+        return nltk_category_rescan_spans(text, chunks, cats)
+
+    return detect
+
+
 def _token_rule_detector() -> Detector:
     """M2/M4-shaped token-pipeline model: whitespace tokenize, tag each
     token by rule (capitalized word -> 'B-CAPSEQ', else 'O'), BIO-chunk
@@ -322,6 +374,7 @@ def _detectors() -> dict[str, Detector]:
         _DETECTOR_CACHE["gazetteer_conll_model"] = _gazetteer_detector(GAZETTEER_CONLL)
         _DETECTOR_CACHE["gazetteer_onto_model"] = _gazetteer_detector(GAZETTEER_ONTO)
         _DETECTOR_CACHE["token_rule_model"] = _token_rule_detector()
+        _DETECTOR_CACHE["nltk_rescan_model"] = _nltk_rescan_detector()
         _DETECTOR_CACHE["vectorized_token_model"] = VectorizedTokenModel()
         import os
 
@@ -466,6 +519,68 @@ def detect_mentions(
             )
 
     return narrow.mapInPandas(run, MENTION_SCHEMA)
+
+
+_CELL_SEP = "\x1f"  # unit separator: composite cell-id delimiter
+
+
+def csv_ner_merge(
+    cells: DataFrame,
+    models: tuple[str, ...] = ("token_rule_model",),
+    doc_col: str = "doc_id",
+    idx_col: str = "cell_index",
+    text_col: str = "cell_text",
+) -> DataFrame:
+    """A14/M14 — the reference's CSV NER merge
+    (NER.get_csv_ner_from_models, code/NLP_NER/EntityRecognition.py:
+    936-992): NER runs per CSV cell (`for text in all_text`), and per
+    (model, category) the per-cell mention lists CONCATENATE in cell
+    order — a category's merged list interleaves across cells exactly
+    as the cells appear in the document, and the per-category
+    `number-of-entities` stat counts the merged list (985-992).
+
+    Relational formulation: each cell becomes its own detection doc
+    (composite id doc␟cell so only two columns cross the Arrow
+    boundary, same as detect_mentions), then
+    - `merge_ord`  = row_number over (doc, model, category) ordered by
+      (cell_index, start_index, end_index) — cell order first, offset
+      order within a cell (identical to the chunk-scan detectors'
+      emission order, whose running find yields ascending starts);
+    - `category_count` = the reference's number-of-entities.
+    Both are functions of the DATA (cell_index), never of partition or
+    row order, so the output is invariant under shuffled input
+    (property-pinned in test_csv_ner_merge_order_stability).
+    Offsets stay cell-relative, as in the reference (NER saw only the
+    cell text)."""
+    from pyspark.sql.window import Window
+
+    src = cells.select(
+        F.concat_ws(
+            _CELL_SEP,
+            F.col(doc_col).cast("string"),
+            F.col(idx_col).cast("string"),
+        ).alias("doc_id"),
+        F.col(text_col).alias("_cell_text"),
+    )
+    m = detect_mentions(src, models=models, text_col="_cell_text")
+    parts = F.split(F.col("doc_id"), _CELL_SEP)
+    m = m.select(
+        parts.getItem(0).alias(doc_col),
+        parts.getItem(1).cast("int").alias(idx_col),
+        "model",
+        "category",
+        "entity",
+        "start_index",
+        "end_index",
+        "sentence",
+    )
+    wo = Window.partitionBy(doc_col, "model", "category").orderBy(
+        idx_col, "start_index", "end_index", "entity"  # entity: determinism backstop
+    )
+    wc = Window.partitionBy(doc_col, "model", "category")
+    return m.withColumn("merge_ord", F.row_number().over(wo)).withColumn(
+        "category_count", F.count("*").over(wc)
+    )
 
 
 CHUNK_SCHEMA = StructType(

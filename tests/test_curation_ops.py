@@ -678,3 +678,55 @@ def test_winnowing_detects_partial_overlap(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_boilerplate_skew_guard(spark):
+    """VERDICT r3 #7 — adversarial skew: one boilerplate header shared
+    by 10k docs would make each of its fingerprints a 10k-row hot key
+    (~5*10^7 candidate pairs per fingerprint in the inverted-index
+    self-join). The max_df guard must DROP those fingerprints (bounding
+    pair work to rare-fingerprint df <= max_df, i.e. <= max_df^2 pairs
+    per fingerprint) while a genuinely copied paragraph between two
+    docs still surfaces."""
+    from pyspark.sql import functions as F
+
+    from mel_tnnt_spark.operators.dedup import overlap_pairs, winnowing_fingerprints
+
+    n = 10_000
+    boiler = "standard corporate header legal disclaimer required by policy"
+    stolen = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(
+            F.lit(boiler + " "),
+            # 8 doc-unique tokens so every doc also has rare shingles
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"u{j}x"), F.col("id")) for j in range(8)],
+            ),
+        ).alias("text"),
+    )
+    copied = spark.createDataFrame(
+        [
+            (n + 1, "alpha opening words precede it " + stolen),
+            (n + 2, stolen + " then totally different trailing content follows"),
+        ],
+        "id int, text string",
+    )
+    corpus = docs.unionByName(copied)
+
+    pairs = overlap_pairs(corpus, "id", "text", n=3, window=4, min_shared=1, max_df=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (n + 1, n + 2) in got, "copied paragraph must survive the df guard"
+    # bounded: no boilerplate pair storm — the 10k boilerplate docs
+    # share ONLY dropped fingerprints, so no pair among them appears
+    assert all(a > n or b > n for a, b in got), f"boilerplate pairs leaked: {len(got)}"
+    assert len(got) <= 3
+
+    # and the guard is the only thing standing between us and the
+    # storm: boilerplate fingerprints really are shared by ~10k docs
+    fp = winnowing_fingerprints(corpus, "id", "text", n=3, window=4)
+    hot = (
+        fp.groupBy("fingerprint").count().where(F.col("count") > 50).count()
+    )
+    assert hot >= 1, "fixture lost its hot fingerprints — test is vacuous"

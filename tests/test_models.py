@@ -74,3 +74,60 @@ def test_spacy_detector_integration(spark):
     assert plan_flags(out)["python_stages"] == 2  # one MapInPandas stage
     assert out.count() > 0
     mentions._DETECTOR_CACHE.pop("spacy_model", None)
+
+
+def test_nltk_rescan_preserves_reference_quirks():
+    """Pure-python contract of the NLTK-branch stand-in (reference
+    NLTKNer.get_nltk_entities, EntityRecognition.py:671-693):
+    per-category restart, within-category advance, and the found==-1
+    item kept with the offset still advancing — all byte-faithful."""
+    from mel_tnnt_spark.operators.mentions import nltk_category_rescan_spans
+
+    text = "Same x Same y Same"
+    # chunk order is text order; categories context-dependent
+    chunks = [("Same", "A"), ("Same", "B"), ("Same", "A")]
+    spans = nltk_category_rescan_spans(text, chunks, ("A", "B"))
+    assert spans == [
+        ("A", "Same", 0, 4),     # A scan starts at 0
+        ("A", "Same", 7, 11),    # advances within A: 2nd occurrence
+        ("B", "Same", 0, 4),     # B RESTARTS at 0 -> first occurrence,
+    ]                            # though its chunk is really the 2nd
+    # single-pass running offset would have put B's chunk at 7 — the
+    # quirk is observable, not cosmetic
+    # find-miss: item kept with start=-1, end=len-1, offset advances
+    spans = nltk_category_rescan_spans("alpha beta", [("missing", "A")], ("A",))
+    assert spans == [("A", "missing", -1, 6)]
+    # categories not in the list are dropped (the label filter)
+    assert nltk_category_rescan_spans("x", [("x", "Z")], ("A",)) == []
+
+
+def test_csv_ner_merge_order_stability(spark):
+    """The merge order is a function of cell_index, never of physical
+    row order: shuffling/reversing the cells DataFrame yields the
+    identical merged output (VERDICT r3 #4's property test)."""
+    from pyspark.sql import functions as F
+
+    from mel_tnnt_spark.operators.mentions import csv_ner_merge
+
+    rows = [
+        ("d1", 0, "Alpha starts here"),
+        ("d1", 1, "then Beta appears"),
+        ("d1", 2, "Gamma ends Alpha"),
+        ("d2", 0, "Delta only"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id string, cell_index int, cell_text string")
+    shuffled = (
+        spark.createDataFrame(list(reversed(rows)), base.schema)
+        .repartition(7, "cell_text")
+    )
+    key = ["doc_id", "cell_index", "model", "category", "entity",
+           "start_index", "end_index", "merge_ord", "category_count"]
+    a = sorted(tuple(r[k] for k in key) for r in csv_ner_merge(base).collect())
+    b = sorted(tuple(r[k] for k in key) for r in csv_ner_merge(shuffled).collect())
+    assert a == b and len(a) > 0
+    # cell-order contract on d1's CAPSEQ list: Alpha(c0) -> Beta(c1) ->
+    # Gamma(c2) -> Alpha(c2), counts = 4
+    d1 = [t for t in a if t[0] == "d1"]
+    by_ord = sorted(d1, key=lambda t: t[7])
+    assert [t[4] for t in by_ord] == ["Alpha", "Beta", "Gamma", "Alpha"]
+    assert {t[8] for t in d1} == {4}
