@@ -2646,6 +2646,124 @@ def q76(spark, sf_dir):
     return csv_ner_merge(cells, models=("token_rule_model",))
 
 
+@_q(
+    "q77_dd_cluster_survivors",
+    """
+    SELECT doc_id::BIGINT AS id,
+           (CASE WHEN doc_id < 120 THEN doc_id - doc_id % 4
+                 ELSE doc_id END)::BIGINT AS cluster_id,
+           (CASE WHEN doc_id < 120 THEN doc_id - doc_id % 4
+                 ELSE doc_id END)::BIGINT AS survivor_id,
+           (doc_id >= 120 OR doc_id % 4 = 0) AS is_survivor
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q77(spark, sf_dir):
+    """The dedup DECISION stage (dedup_clusters): near-dup pairs ->
+    connected components -> one survivor per cluster, singletons kept.
+    Pairwise similarity is not transitive, so only the components
+    closure collapses A~B~C chains — the q74 edge construction (pairs
+    merged into quads by a bridging edge) makes that closure
+    closed-form: ids 0-119 form 30 quads with survivor 4j, ids 120-149
+    are singleton survivors. (Reference analogue: first-of-group keep
+    in the exact-dup scan, code/MEL/__init__.py:684-709.)"""
+    from mel_tnnt_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    i = F.col("doc_id").cast("long")
+    pairs = (
+        docs.where(F.col("doc_id") < 60)
+        .select((i * 2).alias("id_a"), (i * 2 + 1).alias("id_b"))
+        .unionByName(
+            docs.where(F.col("doc_id") < 30).select(
+                (i * 4 + 1).alias("id_a"), (i * 4 + 2).alias("id_b")
+            )
+        )
+    )
+    return dedup_clusters(docs.select(i.alias("id")), pairs, id_col="id")
+
+
+@_q(
+    "q78_ts_pii_scrub",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact bob@' || lang || '.example.com via https://'
+                  || lang || '.example.org/x or 10.0.0.' || (doc_id % 250)
+                  || ' call 0412-345-678' AS s0
+      FROM documents WHERE doc_id < 300),
+    s AS (
+      SELECT doc_id, s0,
+             regexp_replace(s0, 'https?://[^\\s]+', '[URL]', 'g') AS s1
+      FROM d),
+    s2t AS (
+      SELECT *, regexp_replace(s1,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s2
+      FROM s),
+    s3t AS (
+      SELECT *, regexp_replace(s2,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g') AS s3
+      FROM s2t)
+    SELECT doc_id AS id,
+           len(regexp_extract_all(s0, 'https?://[^\\s]+'))::INT AS n_url,
+           len(regexp_extract_all(s1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_email,
+           len(regexp_extract_all(s2,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT AS n_ipv4,
+           len(regexp_extract_all(s3, '\\b\\d[\\d\\- ]{7,14}\\d\\b'))::INT AS n_phone,
+           regexp_replace(s3, '\\b\\d[\\d\\- ]{7,14}\\d\\b', '[PHONE]', 'g') AS scrubbed
+    FROM s3t
+    """,
+)
+def q78(spark, sf_dir):
+    """PII scrubbing (pii_scrub): URLs, emails, IPv4s, phone-shaped
+    digit runs redacted to [KIND] placeholders with per-kind counts,
+    staged so each match counts once under the kind that redacted it.
+    Gated over REAL corpus text with planted PII appended from table
+    columns; the oracle applies the byte-identical RE2-safe pattern
+    chain (both engines' regex dialects accept every pattern — part of
+    the contract, PII_PATTERNS in textstats.py)."""
+    from mel_tnnt_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    text = F.concat(
+        F.col("text"),
+        F.lit(" contact bob@"), F.col("lang"), F.lit(".example.com via https://"),
+        F.col("lang"), F.lit(".example.org/x or 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 0412-345-678"),
+    )
+    src = docs.select(F.col("doc_id").alias("doc_id"), text.alias("content"))
+    return pii_scrub(src, "doc_id", "content")
+
+
+@_q(
+    "q79_ts_repetition_metrics",
+    """
+    SELECT doc_id AS id, 3 AS n_lines,
+           round(1 - 2.0/3, 6) AS dup_line_frac,
+           0.25::DOUBLE AS top_2gram_frac
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q79(spark, sf_dir):
+    """Gopher-style repetition metrics (repetition_metrics):
+    duplicate-line fraction + top-2-gram occurrence fraction — the
+    boilerplate detectors of a pretraining curation pipeline. Template
+    text 'alpha <lang> beta\\nalpha <lang> beta\\ngamma delta <lang>'
+    has closed-form metrics: 3 lines with one duplicate (1-2/3), and
+    of the 8 word-2-grams 'alpha <lang>' and '<lang> beta' each occur
+    twice (top 2/8 = 0.25)."""
+    from mel_tnnt_spark.operators.textstats import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    line1 = F.concat(F.lit("alpha "), F.col("lang"), F.lit(" beta"))
+    line2 = F.concat(F.lit("gamma delta "), F.col("lang"))
+    text = F.concat_ws("\n", line1, line1, line2)
+    src = docs.select(F.col("doc_id").alias("doc_id"), text.alias("content"))
+    return repetition_metrics(src, "doc_id", "content")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-4 rotation): the driver's correctness
 # harness evaluates only the FIRST 50 registered queries —

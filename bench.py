@@ -67,6 +67,9 @@ HEADLINE = [
     "q74_cc_size_histogram",
     "q75_m_nltk_category_rescan",
     "q76_a14_csv_ner_merge_order",
+    "q77_dd_cluster_survivors",
+    "q78_ts_pii_scrub",
+    "q79_ts_repetition_metrics",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -533,3 +533,63 @@ def overlap_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """The dedup DECISION stage: near-dup pairs (from any generator in
+    this module — Jaccard q18, MinHash-LSH q35, SimHash q62, embedding
+    q28, winnowing q73) -> connected components -> one survivor per
+    cluster. This is what a 100 TB curation pipeline actually executes:
+    pairwise similarity is not transitive, so A~B and B~C must collapse
+    {A,B,C} into ONE cluster even when A~C fails the threshold — only
+    components gives that closure. (Reference analogue: the exact-dup
+    scan at code/MEL/__init__.py:684-709 keeps the first document of
+    each identical group; this is its transitive near-dup
+    generalization.)
+
+    Output: (id, cluster_id, survivor_id, is_survivor) for EVERY doc —
+    docs in no pair are their own singleton survivors. cluster_id is
+    the component's min id (stable across runs). Survivor policy:
+    min id by default; with quality_col, the cluster's max-quality doc
+    (ties broken by min id — max_by struct with negated id).
+
+    Scale shape: CC runs on the PAIR graph (already df-capped /
+    LSH-bounded, orders of magnitude smaller than the corpus), then one
+    broadcast-size join per cluster table; the corpus table is touched
+    by exactly one left join."""
+    from mel_tnnt_spark.operators.components import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)  # (node, component=min id)
+    if quality_col is None:
+        lab = cc.select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("component").alias("survivor_id"),
+        )
+    else:
+        q = docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q"))
+        surv = (
+            cc.join(q, "node")
+            .groupBy("component")
+            .agg(F.expr("max_by(node, struct(_q, -node))").alias("survivor_id"))
+        )
+        lab = cc.join(surv, "component").select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            "survivor_id",
+        )
+    out = docs.select(id_col).join(lab, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("survivor_id", F.col(id_col)).alias("survivor_id"),
+        (F.coalesce("survivor_id", F.col(id_col)) == F.col(id_col)).alias(
+            "is_survivor"
+        ),
+    )

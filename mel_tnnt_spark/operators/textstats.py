@@ -150,3 +150,97 @@ def bm25_scores(
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
         .select(F.col("id").alias(id_col), "bm25")
     )
+
+
+# PII / contact-info patterns. RE2-safe (no lookaround, no backrefs) so
+# the SAME pattern strings run in Spark (Java regex) and DuckDB (RE2)
+# with identical matches — the oracle applies the identical chain.
+# Order matters and is part of the contract: URLs are redacted FIRST so
+# an email inside a URL counts once (as URL), not twice.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d[\d\- ]{7,14}\d\b"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII / contact-info scrubbing for training-data curation: redact
+    URLs, emails, IPv4 addresses and phone-shaped digit runs to
+    [KIND] placeholders, and count each kind. The count columns read
+    the text at that STAGE of the redaction chain (url on the original,
+    email after URL redaction, ...), so every match is counted exactly
+    once under the kind that redacted it.
+
+    Everything is codegen regexp; the staged texts are MATERIALIZED one
+    projection per stage (each stage column is referenced twice — count
+    + next replace — and CollapseProject keeps multi-referenced
+    non-cheap aliases separate, the same lesson as the shingle-tokenize
+    fix in dedup.py). Zero shuffles, zero UDFs; at 100 TB this runs
+    inside the whole-stage-codegen scan with the rest of the per-row
+    curation metrics. The reference has no scrubbing stage (its regex
+    surface is extraction-only, code/MEL/config.json:405-413); this is
+    the redaction twin the task-brief curation family requires."""
+
+    def _n(col: str, pat: str):
+        return F.size(F.expr(f"regexp_extract_all({col}, r'{pat}', 0)"))
+
+    cur = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_s"))
+    count_cols: list[str] = []
+    for kind, pat in PII_PATTERNS:
+        cur = cur.select(
+            "id",
+            *count_cols,
+            _n("_s", pat).alias(f"n_{kind}"),
+            F.regexp_replace(F.col("_s"), pat, f"[{kind.upper()}]").alias("_s"),
+        )
+        count_cols.append(f"n_{kind}")
+    return cur.select("id", *count_cols, F.col("_s").alias("scrubbed"))
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition / boilerplate quality metrics per doc:
+    - dup_line_frac: 1 - distinct_lines/lines (split on newline);
+    - top_2gram_frac: occurrences of the most frequent word 2-gram over
+      total 2-gram occurrences (the boilerplate detector — templated
+      text repeats its phrases).
+    Both are exact, order-free, and reproducible in SQL.
+
+    Plan: line metrics are a pure projection; the 2-gram side is ONE
+    map-side-combined groupBy(id, gram) followed by a groupBy(id) —
+    the shuffle carries (doc, gram, count) rows, never the token
+    stream. Docs with fewer than two tokens get NULL top_2gram_frac."""
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("_w"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per_doc = (
+        grams.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac"))
+    )
+    return base.join(per_doc, "id", "left")

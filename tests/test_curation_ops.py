@@ -730,3 +730,67 @@ def test_winnowing_boilerplate_skew_guard(spark):
         fp.groupBy("fingerprint").count().where(F.col("count") > 50).count()
     )
     assert hot >= 1, "fixture lost its hot fingerprints — test is vacuous"
+
+
+def test_dedup_clusters_transitive_closure_and_survivors(spark):
+    """dedup_clusters: A~B and B~C collapse to ONE cluster though A~C
+    was never a pair (the non-transitivity closure); unpaired docs are
+    singleton survivors; quality_col moves the survivor off min-id."""
+    from mel_tnnt_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.1)], "id int, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+
+    got = {r["id"]: (r["cluster_id"], r["survivor_id"], r["is_survivor"])
+           for r in dedup_clusters(docs, pairs, id_col="id").collect()}
+    assert got == {
+        1: (1, 1, True), 2: (1, 1, False), 3: (1, 1, False),
+        7: (7, 7, True),
+    }
+
+    by_q = {r["id"]: (r["survivor_id"], r["is_survivor"])
+            for r in dedup_clusters(docs, pairs, id_col="id", quality_col="quality").collect()}
+    assert by_q == {1: (2, False), 2: (2, True), 3: (2, False), 7: (7, True)}
+
+
+def test_dedup_clusters_quality_tie_breaks_to_min_id(spark):
+    from mel_tnnt_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(5, 1.0), (9, 1.0)], "id int, quality double")
+    pairs = spark.createDataFrame([(5, 9)], "id_a int, id_b int")
+    got = {r["id"]: r["survivor_id"]
+           for r in dedup_clusters(docs, pairs, id_col="id", quality_col="quality").collect()}
+    assert got == {5: 5, 9: 5}  # equal quality -> min id survives
+
+
+def test_pii_scrub_staged_counts_and_redaction(spark):
+    """Each match counts once under the kind that redacted it: the
+    email inside the URL is gone before the email stage counts."""
+    from mel_tnnt_spark.operators.textstats import pii_scrub
+
+    text = (
+        "see https://example.com/u?mail=joe@example.com and "
+        "write joe@example.com or ping 192.168.1.1 tel 0412-345-678"
+    )
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    r = pii_scrub(df, "id", "text").collect()[0]
+    assert (r["n_url"], r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1, 1)
+    assert r["scrubbed"] == (
+        "see [URL] and write [EMAIL] or ping [IPV4] tel [PHONE]"
+    )
+
+
+def test_repetition_metrics_exact_and_short_doc(spark):
+    from mel_tnnt_spark.operators.textstats import repetition_metrics
+
+    rows = [
+        (1, "a b\na b\nc d"),   # 3 lines, 1 dup; 2-grams: ab,ba,ab,bc,cd -> top 2/5
+        (2, "solo"),             # one token: no 2-grams -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: (r["n_lines"], r["dup_line_frac"], r["top_2gram_frac"])
+           for r in repetition_metrics(df, "id", "text").collect()}
+    assert got[1] == (3, round(1 - 2 / 3, 6), 0.4)
+    assert got[2] == (1, 0.0, None)
