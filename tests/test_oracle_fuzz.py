@@ -224,7 +224,24 @@ FUZZ_QUERIES = [
     "q72_bm25_ranking",
     "q73_winnowing_overlap",
     "q74_cc_size_histogram",
+    "q75_m_nltk_category_rescan",
+    "q76_a14_csv_ner_merge_order",
+    "q77_dd_cluster_survivors",
+    "q78_ts_pii_scrub",
+    "q79_ts_repetition_metrics",
 ]
+
+
+def test_fuzz_list_covers_every_registered_query():
+    """Like the PLANS.md guard: the fuzz corpus must enumerate every
+    queries() entry — a new gate can't silently skip adversarial
+    coverage."""
+    import __spark_entry__ as e
+
+    missing = sorted(set(e.queries()) - set(FUZZ_QUERIES))
+    extra = sorted(set(FUZZ_QUERIES) - set(e.queries()))
+    assert not missing, f"queries missing from FUZZ_QUERIES: {missing}"
+    assert not extra, f"FUZZ_QUERIES names unregistered queries: {extra}"
 
 
 def _norm_cell(v):
