@@ -70,6 +70,7 @@ HEADLINE = [
     "q77_dd_cluster_survivors",
     "q78_ts_pii_scrub",
     "q79_ts_repetition_metrics",
+    "q80_dd_cross_corpus_overlap",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -593,3 +593,99 @@ def dedup_clusters(
             "is_survivor"
         ),
     )
+
+
+def overlap_pairs_against(
+    corpus_fp: DataFrame,
+    batch: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """CROSS-corpus contamination: (corpus_id, batch_id, shared) pairs
+    between a NEW batch of documents and an EXISTING fingerprint index
+    (id, fingerprint) — the incremental-dedup shape for checking a new
+    crawl against a 100 TB corpus WITHOUT re-fingerprinting the corpus:
+    only the batch is winnowed, the join touches index rows by
+    fingerprint, and batch-x-batch / corpus-x-corpus pairs are out of
+    scope by construction (check the batch against itself with
+    overlap_pairs if intra-batch dedup is also wanted).
+
+    The document-frequency guard runs over the UNION df (corpus +
+    batch occurrences), so a boilerplate fingerprint hot on EITHER
+    side is dropped before the join — same hot-key defense as
+    overlap_pairs."""
+    bfp = winnowing_fingerprints(batch, id_col, text_col, n, window)
+    cfp = corpus_fp.select(F.col(id_col).alias("id"), "fingerprint")
+    if max_df is not None:
+        rare = (
+            cfp.unionByName(bfp)
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fingerprint")
+        )
+        cfp = cfp.join(rare, "fingerprint")
+        bfp = bfp.join(rare, "fingerprint")
+    return (
+        cfp.alias("a")
+        .join(bfp.alias("b"), "fingerprint")
+        .groupBy(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("batch_id")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def maintain_overlap_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Stateful twin of overlap_pairs_against: check `batch` against
+    the PERSISTED fingerprint index at index_path, then fold the
+    batch's fingerprints into the index through the O(touched-buckets)
+    MERGE sink (keys = (id, fingerprint)) — the same
+    check-then-maintain shape as stream_maintain_components. Returns
+    the contamination pairs of THIS batch vs the prior corpus
+    (materialized before the merge, so the batch never matches
+    itself). Chained batches =~ from-scratch cross-step pairs is
+    test-pinned (test_maintain_overlap_index_chained_equals_scratch)."""
+    import os
+
+    from mel_tnnt_spark.operators.merge_sink import _recover, merge_upsert, read_merged
+
+    _recover(index_path)
+    bfp = winnowing_fingerprints(batch, id_col, text_col, n, window)
+    if os.path.isdir(index_path):
+        idx = read_merged(spark, index_path)
+        pairs = overlap_pairs_against(
+            idx, batch, id_col, text_col, n, window, min_shared, max_df
+        ).persist()
+        pairs.count()  # materialize BEFORE the index mutates
+    else:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        idt = bfp.schema["id"].dataType
+        pairs = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("corpus_id", idt),
+                    StructField("batch_id", idt),
+                    StructField("shared", LongType()),
+                ]
+            ),
+        )
+    merge_upsert(spark, index_path, bfp.withColumnRenamed("id", id_col), keys=(id_col, "fingerprint"))
+    return pairs

@@ -794,3 +794,89 @@ def test_repetition_metrics_exact_and_short_doc(spark):
            for r in repetition_metrics(df, "id", "text").collect()}
     assert got[1] == (3, round(1 - 2 / 3, 6), 0.4)
     assert got[2] == (1, 0.0, None)
+
+
+def test_overlap_pairs_against_excludes_intra_set_pairs(spark):
+    """Cross-corpus semantics: only (corpus, batch) pairs emerge —
+    two batch docs sharing a paragraph with each other (but nothing
+    with the corpus) produce NO pair."""
+    from mel_tnnt_spark.operators.dedup import (
+        overlap_pairs_against,
+        winnowing_fingerprints,
+    )
+
+    stolen = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = spark.createDataFrame(
+        [(1, stolen + " with corpus trailing content here"),
+         (2, "entirely unrelated corpus document about spark shuffles")],
+        "id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "intro words then " + stolen),
+         (11, "xyz shared batch paragraph alpha beta gamma delta epsilon zeta"),
+         (12, "abc shared batch paragraph alpha beta gamma delta epsilon zeta")],
+        "id int, text string",
+    )
+    cfp = winnowing_fingerprints(corpus, "id", "text", n=3, window=4)
+    got = {
+        (r["corpus_id"], r["batch_id"])
+        for r in overlap_pairs_against(
+            cfp, batch, "id", "text", min_shared=1, max_df=None
+        ).collect()
+    }
+    assert (1, 10) in got, "stolen corpus paragraph must be detected"
+    assert all(c in (1, 2) and b in (10, 11, 12) for c, b in got)
+    assert not any(b in (11, 12) for _, b in got), "batch-x-batch leaked"
+
+
+def test_maintain_overlap_index_chained_equals_scratch(spark, tmp_path):
+    """Chained batches through the persisted index == from-scratch
+    cross-STEP pairs: each batch is checked against everything merged
+    before it, never against itself; a replayed batch adds nothing new
+    to the index (merge is keyed upsert)."""
+    from mel_tnnt_spark.operators.dedup import (
+        maintain_overlap_index,
+        overlap_pairs_against,
+        winnowing_fingerprints,
+    )
+    from mel_tnnt_spark.operators.merge_sink import read_merged
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, para + " first doc trailer one"),
+         (2, "unrelated text about nothing in particular at all today")],
+        [(10, "second wave opener then " + para),
+         (11, "another unrelated document of fresh tokens entirely new")],
+        [(20, para + " third wave copy with more trailing content")],
+    ]
+    idx = str(tmp_path / "fpindex")
+    got = set()
+    for rows in batches:
+        b = spark.createDataFrame(rows, "id bigint, text string")
+        pairs = maintain_overlap_index(
+            spark, idx, b, "id", "text", min_shared=1, max_df=None
+        )
+        got |= {(r["corpus_id"], r["batch_id"]) for r in pairs.collect()}
+
+    # scratch: cross-step pairs only (earlier id-set vs later batch)
+    want = set()
+    for i in range(1, len(batches)):
+        prior = [r for bb in batches[:i] for r in bb]
+        pr = spark.createDataFrame(prior, "id bigint, text string")
+        cfp = winnowing_fingerprints(pr, "id", "text", n=3, window=4)
+        cur = spark.createDataFrame(batches[i], "id bigint, text string")
+        want |= {
+            (r["corpus_id"], r["batch_id"])
+            for r in overlap_pairs_against(
+                cfp, cur, "id", "text", min_shared=1, max_df=None
+            ).collect()
+        }
+    assert got == want and (1, 10) in got and (1, 20) in got and (10, 20) in got
+
+    # replay the last batch: index row count unchanged (keyed upsert)
+    n_before = read_merged(spark, idx).count()
+    maintain_overlap_index(
+        spark, idx, spark.createDataFrame(batches[-1], "id bigint, text string"),
+        "id", "text", min_shared=1, max_df=None,
+    )
+    assert read_merged(spark, idx).count() == n_before

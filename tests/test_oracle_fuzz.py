@@ -229,6 +229,7 @@ FUZZ_QUERIES = [
     "q77_dd_cluster_survivors",
     "q78_ts_pii_scrub",
     "q79_ts_repetition_metrics",
+    "q80_dd_cross_corpus_overlap",
 ]
 
 
