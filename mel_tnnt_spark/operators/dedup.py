@@ -669,10 +669,15 @@ def maintain_overlap_index(
     bfp = winnowing_fingerprints(batch, id_col, text_col, n, window)
     if os.path.isdir(index_path):
         idx = read_merged(spark, index_path)
+        # localCheckpoint, not persist: the pairs MUST be materialized
+        # before the merge mutates the index, and a persist whose
+        # blocks get evicted would silently RECOMPUTE from the mutated
+        # index (wrong pairs); truncated lineage turns that into a
+        # deterministic error instead, and the blocks are
+        # reference-tracked so they free when the result is dropped
         pairs = overlap_pairs_against(
             idx, batch, id_col, text_col, n, window, min_shared, max_df
-        ).persist()
-        pairs.count()  # materialize BEFORE the index mutates
+        ).localCheckpoint(eager=True)
     else:
         from pyspark.sql.types import LongType, StructField, StructType
 
