@@ -2404,7 +2404,8 @@ def q70(spark, sf_dir):
       FROM documents),
     r AS (SELECT h & 255 AS bucket, h >> 8 AS w FROM h)
     SELECT bucket::BIGINT AS bucket,
-           max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END)::BIGINT AS register
+           max(CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END)::BIGINT AS register,
+           8 AS p
     FROM r GROUP BY bucket
     """,
 )
@@ -2421,7 +2422,11 @@ def q71(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     keys = docs.select(F.concat(F.lit("key-"), F.col("doc_id").cast("string")).alias("k"))
     out = hll_registers(keys, "k", p=8)
-    return out.select(F.col("bucket").cast("long").alias("bucket"), F.col("register").cast("long").alias("register"))
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("register").cast("long").alias("register"),
+        "p",  # the table carries its precision (round-4 review fix)
+    )
 
 
 

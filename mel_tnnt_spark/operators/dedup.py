@@ -574,10 +574,17 @@ def dedup_clusters(
         )
     else:
         q = docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q"))
+        scored = cc.join(q, "node")
+        # max quality then MIN id, without negating the id (unary minus
+        # on a string id silently casts to double->null, making the
+        # tie-break nondeterministic — round-4 review find): take the
+        # component's max quality, then the min id among its holders
+        qmax = scored.groupBy("component").agg(F.max("_q").alias("_qmax"))
         surv = (
-            cc.join(q, "node")
+            scored.join(qmax, "component")
+            .where(F.col("_q").eqNullSafe(F.col("_qmax")))
             .groupBy("component")
-            .agg(F.expr("max_by(node, struct(_q, -node))").alias("survivor_id"))
+            .agg(F.min("node").alias("survivor_id"))
         )
         lab = cc.join(surv, "component").select(
             F.col("node").alias(id_col),
@@ -604,6 +611,7 @@ def overlap_pairs_against(
     window: int = 4,
     min_shared: int = 2,
     max_df: int | None = 50,
+    batch_fp: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-corpus contamination: (corpus_id, batch_id, shared) pairs
     between a NEW batch of documents and an EXISTING fingerprint index
@@ -617,8 +625,17 @@ def overlap_pairs_against(
     The document-frequency guard runs over the UNION df (corpus +
     batch occurrences), so a boilerplate fingerprint hot on EITHER
     side is dropped before the join — same hot-key defense as
-    overlap_pairs."""
-    bfp = winnowing_fingerprints(batch, id_col, text_col, n, window)
+    overlap_pairs.
+
+    batch_fp: precomputed winnowing fingerprints of the batch (same
+    (id, fingerprint) shape), so a caller that already fingerprinted
+    the batch (maintain_overlap_index merges them anyway) does not pay
+    the tokenize+window scan again."""
+    bfp = (
+        batch_fp.select("id", "fingerprint")
+        if batch_fp is not None
+        else winnowing_fingerprints(batch, id_col, text_col, n, window)
+    )
     cfp = corpus_fp.select(F.col(id_col).alias("id"), "fingerprint")
     if max_df is not None:
         rare = (
@@ -660,37 +677,61 @@ def maintain_overlap_index(
     the contamination pairs of THIS batch vs the prior corpus
     (materialized before the merge, so the batch never matches
     itself). Chained batches =~ from-scratch cross-step pairs is
-    test-pinned (test_maintain_overlap_index_chained_equals_scratch)."""
+    test-pinned (test_maintain_overlap_index_chained_equals_scratch).
+
+    REPLAY-SAFE: a batch that already reached the index (caller
+    crashed after the merge committed, then retried — the merge sink's
+    explicit replay model) would otherwise find its OWN fingerprints
+    in the index and report every replayed doc as self-contaminated,
+    while double-counting its fingerprints in the df-guard; the index
+    side therefore anti-joins the batch's ids out before pairing, so a
+    retried call returns exactly the original pairs. The batch is
+    winnowed ONCE (fingerprints feed both the pair check and the
+    merge, cached for the call's duration)."""
     import os
 
     from mel_tnnt_spark.operators.merge_sink import _recover, merge_upsert, read_merged
 
     _recover(index_path)
-    bfp = winnowing_fingerprints(batch, id_col, text_col, n, window)
-    if os.path.isdir(index_path):
-        idx = read_merged(spark, index_path)
-        # localCheckpoint, not persist: the pairs MUST be materialized
-        # before the merge mutates the index, and a persist whose
-        # blocks get evicted would silently RECOMPUTE from the mutated
-        # index (wrong pairs); truncated lineage turns that into a
-        # deterministic error instead, and the blocks are
-        # reference-tracked so they free when the result is dropped
-        pairs = overlap_pairs_against(
-            idx, batch, id_col, text_col, n, window, min_shared, max_df
-        ).localCheckpoint(eager=True)
-    else:
-        from pyspark.sql.types import LongType, StructField, StructType
+    bfp = winnowing_fingerprints(batch, id_col, text_col, n, window).persist()
+    try:
+        if os.path.isdir(index_path):
+            batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+            idx = (
+                read_merged(spark, index_path)
+                .withColumnRenamed(id_col, "id")
+                .join(batch_ids, "id", "left_anti")
+                .withColumnRenamed("id", id_col)
+            )
+            # localCheckpoint, not persist: the pairs MUST be
+            # materialized before the merge mutates the index, and a
+            # persist whose blocks get evicted would silently RECOMPUTE
+            # from the mutated index (wrong pairs); truncated lineage
+            # turns that into a deterministic error instead
+            pairs = overlap_pairs_against(
+                idx, batch, id_col, text_col, n, window, min_shared, max_df,
+                batch_fp=bfp,
+            ).localCheckpoint(eager=True)
+        else:
+            from pyspark.sql.types import LongType, StructField, StructType
 
-        idt = bfp.schema["id"].dataType
-        pairs = spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("corpus_id", idt),
-                    StructField("batch_id", idt),
-                    StructField("shared", LongType()),
-                ]
-            ),
+            idt = bfp.schema["id"].dataType
+            pairs = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("corpus_id", idt),
+                        StructField("batch_id", idt),
+                        StructField("shared", LongType()),
+                    ]
+                ),
+            )
+        merge_upsert(
+            spark,
+            index_path,
+            bfp.withColumnRenamed("id", id_col),
+            keys=(id_col, "fingerprint"),
         )
-    merge_upsert(spark, index_path, bfp.withColumnRenamed("id", id_col), keys=(id_col, "fingerprint"))
+    finally:
+        bfp.unpersist()
     return pairs

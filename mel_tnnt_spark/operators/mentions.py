@@ -563,10 +563,17 @@ def csv_ner_merge(
         F.col(text_col).alias("_cell_text"),
     )
     m = detect_mentions(src, models=models, text_col="_cell_text")
+    # Decompose from the RIGHT: exactly one separator + index was
+    # appended, so the last part is the cell index and rejoining the
+    # rest reconstructs the doc id EXACTLY even if it contains the
+    # separator character itself (round-4 review find: getItem(0)
+    # truncated such ids and nulled the cell index).
     parts = F.split(F.col("doc_id"), _CELL_SEP)
     m = m.select(
-        parts.getItem(0).alias(doc_col),
-        parts.getItem(1).cast("int").alias(idx_col),
+        F.array_join(
+            F.slice(parts, F.lit(1), F.size(parts) - 1), _CELL_SEP
+        ).alias(doc_col),
+        F.element_at(parts, -1).cast("int").alias(idx_col),
         "model",
         "category",
         "entity",

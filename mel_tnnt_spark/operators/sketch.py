@@ -90,10 +90,16 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
     w = F.shiftrightunsigned(h, p)
     bits = F.length(F.conv(w.cast("string"), 10, 2))  # floor(log2(w)) + 1, exact
     rho = F.when(w == 0, F.lit(win + 1)).otherwise(F.lit(win) - bits + 1)
+    # the table CARRIES p (one constant column): hll_estimate and
+    # hll_merge validate against it, so a mismatched-p call can never
+    # silently corrupt the estimate in either direction (round-4
+    # review find: the data-range check alone cannot catch
+    # built-small/estimated-large)
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("register"))
+        .withColumn("p", F.lit(p))
     )
 
 
@@ -101,22 +107,38 @@ def _h60(key_expr: str) -> str:
     return f"CAST(conv(substr(md5(CAST({key_expr} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+def hll_estimate(registers: DataFrame, p: int | None = None) -> float:
     """Cardinality estimate from a register table (<= 2^p rows —
     bounded driver collect, like the CMS probe set). Standard HLL
     estimator with the small-range linear-counting correction; the
     large-range correction is unnecessary at 60 hash bits for any
     realistic cardinality.
 
-    The register table does not carry p, so a mismatched p here would
-    silently corrupt alpha, the denominator, and the linear-counting
-    branch — the collected registers are validated against p (every
-    bucket < 2^p, every register <= 60-p+1) and a mismatch raises
-    (round-4 advice)."""
+    p handling (round-4 advice + review): the table CARRIES p, which
+    is authoritative — pass p only as a cross-check (mismatch raises).
+    A table holding more than one distinct p (e.g. a merge of
+    differently-sized sketches) raises. Legacy tables without the p
+    column require the p argument and get the weaker data-range check
+    (bucket < 2^p, register <= 60-p+1), which cannot catch the
+    built-small/estimated-large direction — carrying p closes it."""
     import math
 
+    rows = registers.collect()
+    if rows and "p" in rows[0].asDict():
+        ps = {r["p"] for r in rows}
+        if len(ps) > 1:
+            raise ValueError(f"register table mixes p values {sorted(ps)}")
+        table_p = ps.pop() if ps else None
+        if table_p is not None:
+            if p is not None and p != table_p:
+                raise ValueError(
+                    f"register table carries p={table_p}, estimate called with p={p}"
+                )
+            p = table_p
+    if p is None:
+        raise ValueError("empty/legacy register table: pass p explicitly")
     m = 1 << p
-    regs = {r["bucket"]: r["register"] for r in registers.collect()}
+    regs = {r["bucket"]: r["register"] for r in rows}
     win = HLL_HASH_BITS - p
     for b, v in regs.items():
         if not 0 <= b < m:
@@ -139,9 +161,14 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Register-wise max — HLL's semigroup merge (sketch of the union),
-    the property that lets 100 TB partitions sketch independently."""
+    the property that lets 100 TB partitions sketch independently.
+    p is part of the group key: merging sketches of DIFFERENT p does
+    not silently mix registers — the mixed-p result is rejected by
+    hll_estimate's one-distinct-p check."""
+    extra = ["p"] if "p" in a.columns else []
     return (
         a.unionByName(b)
-        .groupBy("bucket")
+        .groupBy("bucket", *extra)
         .agg(F.max("register").alias("register"))
+        .select("bucket", "register", *extra)
     )

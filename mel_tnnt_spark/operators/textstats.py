@@ -186,7 +186,13 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def _n(col: str, pat: str):
         return F.size(F.expr(f"regexp_extract_all({col}, r'{pat}', 0)"))
 
-    cur = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_s"))
+    # NULL text -> '' up front: regexp over NULL is NULL and size(NULL)
+    # is -1, which would emit counts of -1 that a downstream quality
+    # filter would happily treat as numbers (round-4 review find)
+    cur = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_s"),
+    )
     count_cols: list[str] = []
     for kind, pat in PII_PATTERNS:
         cur = cur.select(
@@ -210,8 +216,11 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan: line metrics are a pure projection; the 2-gram side is ONE
     map-side-combined groupBy(id, gram) followed by a groupBy(id) —
     the shuffle carries (doc, gram, count) rows, never the token
-    stream. Docs with fewer than two tokens get NULL top_2gram_frac."""
-    lines = F.split(F.col(text_col), "\n")
+    stream. Docs with fewer than two tokens get NULL top_2gram_frac.
+    NULL text is treated as '' (split(NULL) is NULL, size(NULL) is -1 —
+    the same -1-count hazard as pii_scrub; round-4 review find)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(lines).alias("n_lines"),
@@ -222,7 +231,7 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+            F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
         ).alias("_w"),
     )
     grams = toks.select(

@@ -18,42 +18,19 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import sys
 import time
 from pathlib import Path
 
-import duckdb
-
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from mel_tnnt_spark.oracle_compare import duck_connect, normalize as _normalize  # noqa: E402
 
 
 def _duck(sql: str, sf_dir: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duck_connect(sf_dir)  # bind: a temporary connection is GC-closed mid-chain
     return con.sql(sql).df()
-
-
-def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return None
-    if isinstance(v, float):
-        return round(v, 9)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_cell(v.item())
-    return v
-
-
-def _normalize(df):
-    cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def main() -> int:

@@ -602,18 +602,31 @@ def test_hll_validates_p(spark):
 
 
 def test_hll_estimate_rejects_mismatched_p(spark):
-    """hll_estimate(p) on a register table built with a different p
-    must raise, not silently return a badly wrong estimate (round-4
-    advice): wrong-direction mismatches are caught by the bucket-range
-    check (built p=8, estimated p=4) or the register-range check."""
-    from mel_tnnt_spark.operators.sketch import hll_estimate, hll_registers
+    """The register table CARRIES p (round-4 advice + review): a
+    mismatched p argument raises in BOTH directions (the data-range
+    check alone could not catch built-small/estimated-large), p can be
+    omitted entirely (table is authoritative), mixed-p tables are
+    rejected, and legacy p-less tables still get the range check."""
+    from mel_tnnt_spark.operators.sketch import hll_estimate, hll_merge, hll_registers
 
     keys = spark.range(5000).select(F.concat(F.lit("k-"), F.col("id")).alias("k"))
     regs8 = hll_registers(keys, "k", p=8)
-    with pytest.raises(ValueError, match="inconsistent with p=4"):
+    with pytest.raises(ValueError, match="carries p=8"):
         hll_estimate(regs8, p=4)
-    # the matched call still works
-    assert abs(hll_estimate(regs8, p=8) - 5000) / 5000 < 0.25
+    regs4 = hll_registers(keys, "k", p=4)
+    with pytest.raises(ValueError, match="carries p=4"):
+        hll_estimate(regs4, p=8)  # the silent-corruption direction
+    # table-authoritative: no p argument needed
+    assert abs(hll_estimate(regs8) - 5000) / 5000 < 0.25
+    assert hll_estimate(regs8, p=8) == hll_estimate(regs8)
+    # mixed-p merge is rejected at estimate time
+    with pytest.raises(ValueError, match="mixes p values"):
+        hll_estimate(hll_merge(regs8, regs4))
+    # legacy p-less table: explicit p + range check still work
+    legacy = regs8.drop("p")
+    assert hll_estimate(legacy, p=8) == hll_estimate(regs8)
+    with pytest.raises(ValueError, match="inconsistent with p=4"):
+        hll_estimate(legacy, p=4)
 
 
 def _py_winnow(text: str, n: int, window: int) -> set[int]:
@@ -765,6 +778,27 @@ def test_dedup_clusters_quality_tie_breaks_to_min_id(spark):
     assert got == {5: 5, 9: 5}  # equal quality -> min id survives
 
 
+def test_dedup_clusters_string_ids_tie_break_deterministic(spark):
+    """Round-4 review find: the old `-node` tie-break cast STRING ids
+    to double (null) and picked an arbitrary survivor; the max-quality
+    -then-min-id formulation must be deterministic for any orderable
+    id type, including all-null qualities."""
+    from mel_tnnt_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("b", 1.0), ("a", 1.0), ("c", 0.5), ("z", None)],
+        "id string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("a", "c")], "id_a string, id_b string"
+    )
+    got = {r["id"]: (r["survivor_id"], r["is_survivor"])
+           for r in dedup_clusters(docs, pairs, id_col="id", quality_col="quality").collect()}
+    # tie at quality 1.0 between 'a' and 'b' -> min id 'a' survives
+    assert got == {"a": ("a", True), "b": ("a", False),
+                   "c": ("a", False), "z": ("z", True)}
+
+
 def test_pii_scrub_staged_counts_and_redaction(spark):
     """Each match counts once under the kind that redacted it: the
     email inside the URL is gone before the email stage counts."""
@@ -873,10 +907,29 @@ def test_maintain_overlap_index_chained_equals_scratch(spark, tmp_path):
         }
     assert got == want and (1, 10) in got and (1, 20) in got and (10, 20) in got
 
-    # replay the last batch: index row count unchanged (keyed upsert)
+    # replay the last batch (the merge sink's crash-retry model): the
+    # index row count is unchanged (keyed upsert) AND the returned
+    # pairs equal the ORIGINAL call's — the batch's own fingerprints,
+    # already in the index, must not read as self-contamination
+    # (round-4 review find: the index side anti-joins the batch out)
+    last = spark.createDataFrame(batches[-1], "id bigint, text string")
+    first_pairs = {
+        (r["corpus_id"], r["batch_id"])
+        for r in overlap_pairs_against(
+            winnowing_fingerprints(
+                spark.createDataFrame(
+                    [r for bb in batches[:-1] for r in bb], "id bigint, text string"
+                ),
+                "id", "text", n=3, window=4,
+            ),
+            last, "id", "text", min_shared=1, max_df=None,
+        ).collect()
+    }
     n_before = read_merged(spark, idx).count()
-    maintain_overlap_index(
-        spark, idx, spark.createDataFrame(batches[-1], "id bigint, text string"),
-        "id", "text", min_shared=1, max_df=None,
+    replay = maintain_overlap_index(
+        spark, idx, last, "id", "text", min_shared=1, max_df=None
     )
     assert read_merged(spark, idx).count() == n_before
+    got_replay = {(r["corpus_id"], r["batch_id"]) for r in replay.collect()}
+    assert got_replay == first_pairs
+    assert not any(c == b for c, b in got_replay), "self-pairs leaked on replay"

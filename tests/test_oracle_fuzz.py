@@ -245,30 +245,18 @@ def test_fuzz_list_covers_every_registered_query():
     assert not extra, f"FUZZ_QUERIES names unregistered queries: {extra}"
 
 
-def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return None
-    if hasattr(v, "item"):
-        v = v.item()
-    if isinstance(v, float):
-        return round(v, 9)
-    return v
-
-
-def _normalize(df):
-    cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+from mel_tnnt_spark.oracle_compare import duck_connect, normalize as _normalize  # noqa: E402
 
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_fuzz_query_oracle_parity(spark, fuzz_dir, name):
     import __spark_entry__ as e
 
-    con = duckdb.connect()
-    for t in ("documents", "events", "embeddings", "nation", "customer", "orders", "lineitem"):
-        # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet/*.parquet'")
+    con = duck_connect(
+        fuzz_dir,
+        file_glob=True,  # Spark writes parquet DIRECTORIES
+        tables=("documents", "events", "embeddings", "nation", "customer", "orders", "lineitem"),
+    )
     got = _normalize(e.queries()[name](spark, fuzz_dir).toPandas())
     want = _normalize(con.sql(e.oracle_sql()[name]).df())
     assert got[0] == want[0], f"{name} columns: {got[0]} vs {want[0]}"

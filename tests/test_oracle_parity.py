@@ -7,40 +7,16 @@ scale-free)."""
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import pytest
 
+from mel_tnnt_spark.oracle_compare import duck_connect, normalize as _normalize
+
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
 
 
 def _duck(sql: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = duck_connect(SF_DIR)  # bind: a temporary connection is GC-closed mid-chain
     return con.sql(sql).df()
-
-
-def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return None
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return round(v, 9)
-        return round(v, 9)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_cell(v.item())
-    return v
-
-
-def _normalize(df):
-    cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def _query_names():
