@@ -2843,6 +2843,66 @@ def q80(spark, sf_dir):
     )
 
 
+@_q(
+    "q81_curation_decision",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    l AS (SELECT doc_id, lang FROM documents WHERE doc_id < 150)
+    SELECT d.doc_id::BIGINT AS id,
+           (CASE WHEN d.doc_id < 120 THEN d.doc_id - d.doc_id % 4
+                 ELSE d.doc_id END)::BIGINT AS cluster_id,
+           (CASE WHEN d.doc_id < 120 THEN d.doc_id - d.doc_id % 4
+                 ELSE d.doc_id END)::BIGINT AS survivor_id,
+           (CASE d.doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 3
+                              WHEN 2 THEN 5 ELSE 9 END)::BIGINT AS n_tokens,
+           CASE d.doc_id % 4 WHEN 2 THEN 0.75::DOUBLE ELSE 0.0::DOUBLE END
+             AS dup_line_frac,
+           (CASE d.doc_id % 4 WHEN 0 THEN round(1/7.0, 6)
+                              WHEN 1 THEN 0.5
+                              WHEN 2 THEN round(4/7.0, 6)
+                              ELSE round(1/8.0, 6) END)::DOUBLE AS top_2gram_frac,
+           (CASE d.doc_id % 4 WHEN 3 THEN 3 ELSE 0 END)::INT AS n_pii,
+           CASE WHEN d.doc_id < 120 AND d.doc_id % 4 != 0 THEN 'duplicate'
+                WHEN d.doc_id % 4 = 1 THEN 'too_short'
+                WHEN d.doc_id % 4 = 2 THEN 'repetitive'
+                WHEN d.doc_id % 4 = 3 THEN 'pii' END AS reason,
+           (d.doc_id % 4 = 0) AS keep
+    FROM d
+    """,
+)
+def q81(spark, sf_dir):
+    """The capstone COMPOSITE curation verdict (curation_decision):
+    near-dup cluster survivorship (q77's closed-form quad pairs) +
+    token count + repetition metrics + PII density folded into one
+    keep/reason row per document, with fixed rule precedence
+    (duplicate > too_short > repetitive > repetitive_phrases > pii) so
+    every drop is auditable. Template text by doc_id % 4 makes every
+    metric closed-form: the good doc, the 3-token doc, the
+    4x-duplicate-line doc, and the 2-email+phone doc."""
+    from mel_tnnt_spark.operators.textstats import curation_decision
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    i = F.col("doc_id").cast("long")
+    text = (
+        F.when(i % 4 == 0, F.concat(F.lit("alpha "), F.col("lang"),
+                                    F.lit(" beta gamma delta\nepsilon zeta eta")))
+        .when(i % 4 == 1, F.lit("one two three"))
+        .when(i % 4 == 2, F.lit("rr ss\nrr ss\nrr ss\nrr ss"))
+        .otherwise(F.lit("contact a@b.co and c@d.co call 0412-345-678 now more words"))
+    )
+    src = docs.select(i.alias("id"), text.alias("text"))
+    pairs = (
+        docs.where(F.col("doc_id") < 60)
+        .select((i * 2).alias("id_a"), (i * 2 + 1).alias("id_b"))
+        .unionByName(
+            docs.where(F.col("doc_id") < 30).select(
+                (i * 4 + 1).alias("id_a"), (i * 4 + 2).alias("id_b")
+            )
+        )
+    )
+    return curation_decision(src, pairs, id_col="id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-4 rotation): the driver's correctness
 # harness evaluates only the FIRST 50 registered queries —

@@ -71,6 +71,7 @@ HEADLINE = [
     "q78_ts_pii_scrub",
     "q79_ts_repetition_metrics",
     "q80_dd_cross_corpus_overlap",
+    "q81_curation_decision",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

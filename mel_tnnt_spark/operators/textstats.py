@@ -253,3 +253,64 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_frac"))
     )
     return base.join(per_doc, "id", "left")
+
+
+def curation_decision(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_2gram_frac: float = 0.6,
+    max_pii: int = 2,
+) -> DataFrame:
+    """The composite KEEP/DROP verdict — what the curation pipeline
+    actually emits per document at 100 TB, composing the individually
+    gated stages into one row: near-dup cluster survivorship
+    (dedup_clusters over any pair generator's output), token count,
+    repetition metrics, and PII density. `reason` is the FIRST failing
+    rule in a fixed precedence (duplicate > too_short > repetitive >
+    repetitive_phrases > pii), NULL when kept — deterministic and
+    SQL-reproducible, so an auditor can re-derive every drop.
+
+    Plan: one left join per metric table on id (each metric is itself
+    one scan + at most one bounded aggregate); the verdict column is
+    pure codegen CASE logic. Nothing here shuffles the text — only
+    (id, metric) rows move."""
+    from mel_tnnt_spark.operators.dedup import dedup_clusters
+
+    cl = dedup_clusters(docs.select(F.col(id_col)), pairs, id_col=id_col)
+    rep = repetition_metrics(docs, id_col, text_col)
+    pii = pii_scrub(docs, id_col, text_col).select(
+        F.col("id").alias(id_col),
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias("n_pii"),
+    )
+    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
+    toks = docs.select(F.col(id_col), ws.cast("long").alias("n_tokens"))
+    j = (
+        cl.join(toks, id_col)
+        .join(rep.withColumnRenamed("id", id_col), id_col)
+        .join(pii, id_col)
+    )
+    reason = (
+        F.when(~F.col("is_survivor"), F.lit("duplicate"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("repetitive"))
+        .when(
+            F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) > max_top_2gram_frac,
+            F.lit("repetitive_phrases"),
+        )
+        .when(F.col("n_pii") > max_pii, F.lit("pii"))
+    )
+    return j.select(
+        id_col,
+        "cluster_id",
+        "survivor_id",
+        "n_tokens",
+        "dup_line_frac",
+        "top_2gram_frac",
+        "n_pii",
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )

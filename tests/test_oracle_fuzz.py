@@ -230,6 +230,7 @@ FUZZ_QUERIES = [
     "q78_ts_pii_scrub",
     "q79_ts_repetition_metrics",
     "q80_dd_cross_corpus_overlap",
+    "q81_curation_decision",
 ]
 
 
