@@ -167,3 +167,100 @@ def test_merge_upsert_rejects_key_mismatch(spark, tmp_path):
     merge_upsert(spark, target, base, keys=("k",))
     with _pytest.raises(ValueError, match="bucketed by keys"):
         merge_upsert(spark, target, base, keys=("v",))
+
+
+def test_nltk_rescan_property_matches_reference_loop():
+    """Property: nltk_category_rescan_spans is byte-equivalent to a
+    literal transcription of the reference loop
+    (NLTKNer.get_nltk_entities, code/NLP_NER/EntityRecognition.py:
+    671-693) over random texts and chunk lists — including find
+    misses (-1 starts) and duplicate surfaces across categories."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mel_tnnt_spark.operators.mentions import nltk_category_rescan_spans
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "Same", "Dup", "x"])
+    cats = ("A", "B", "C")
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(words, min_size=0, max_size=12),
+        chunks=st.lists(
+            st.tuples(words, st.sampled_from(cats + ("Z",))), min_size=0, max_size=8
+        ),
+    )
+    def check(toks, chunks):
+        text = " ".join(toks)
+
+        # literal reference transcription (dict-of-lists shape)
+        ref: dict[str, list] = {}
+        for category in cats:
+            offset = 0
+            for entity_text, label in chunks:
+                if label != category:
+                    continue
+                offset = text.find(entity_text, offset)
+                item = (category, entity_text, offset, offset + len(entity_text))
+                offset += len(entity_text)
+                ref.setdefault(category, []).append(item)
+        want = [it for c in cats for it in ref.get(c, [])]
+
+        assert nltk_category_rescan_spans(text, chunks, cats) == want
+
+    check()
+
+
+def test_band_widths_properties():
+    """Property: for every valid (k, bands), band_widths yields exactly
+    `bands` widths, each >= 1, summing to k, non-increasing (front
+    bands take the remainder)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mel_tnnt_spark.operators.dedup import band_widths
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 128).flatmap(lambda k: st.tuples(st.just(k), st.integers(1, k))))
+    def check(kb):
+        k, bands = kb
+        ws = band_widths(k, bands)
+        assert len(ws) == bands
+        assert sum(ws) == k
+        assert min(ws) >= 1
+        assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+    check()
+
+
+def test_winnowing_guarantee_property():
+    """Property (Schleimer et al. 2003, with the full-window variant):
+    any run of >= window+n-1 tokens shared by two documents yields at
+    least one shared fingerprint — checked on the hashlib mirror that
+    test_winnowing_full_windows_only pins byte-equal to the Spark
+    operator, over random contexts and run placements."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_curation_ops import _py_winnow
+
+    n, window = 3, 4
+    vocab = ["w%d" % i for i in range(30)]
+    tok = st.sampled_from(vocab)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        run=st.lists(tok, min_size=window + n - 1, max_size=14),
+        pre_a=st.lists(tok, min_size=0, max_size=8),
+        suf_a=st.lists(tok, min_size=0, max_size=8),
+        pre_b=st.lists(tok, min_size=0, max_size=8),
+        suf_b=st.lists(tok, min_size=0, max_size=8),
+    )
+    def check(run, pre_a, suf_a, pre_b, suf_b):
+        a = " ".join(pre_a + run + suf_a)
+        b = " ".join(pre_b + run + suf_b)
+        assert _py_winnow(a, n, window) & _py_winnow(b, n, window), (
+            f"shared {len(run)}-token run produced no shared fingerprint"
+        )
+
+    check()
