@@ -119,3 +119,26 @@ def test_plans_audit_covers_every_registered_query():
     extra = sorted(rows - set(e.queries()))
     assert not missing, f"PLANS.md missing rows for {missing}: rerun scripts/dump_plans.py"
     assert not extra, f"PLANS.md has rows for unregistered queries {extra}"
+
+
+def test_rotation_keeps_uncertified_queries_in_driver_window():
+    """The driver's correctness harness evaluates only the FIRST 50
+    registered queries; queries() rotates not-yet-driver-certified
+    names first. This guard fails if the uncertified set ever exceeds
+    the window (then the rotation needs a second round or a split),
+    and pins basic contract hygiene: every query has an oracle, names
+    are unique and well-formed."""
+    import re
+
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    uncertified = [n for n in names if n not in e._R03_DRIVER_CERTIFIED]
+    assert names[: len(uncertified)] == uncertified, "uncertified must lead"
+    assert len(uncertified) <= 50, (
+        f"{len(uncertified)} uncertified queries exceed the driver's "
+        "50-slot window — split the rotation across rounds"
+    )
+    assert set(e.oracle_sql()) == set(names), "every query needs an oracle"
+    assert all(re.fullmatch(r"q\d{2}_\w+", n) for n in names)
+    assert len(set(names)) == len(names)
