@@ -2903,6 +2903,57 @@ def q81(spark, sf_dir):
     return curation_decision(src, pairs, id_col="id", text_col="text")
 
 
+def _quality_weight_values(dim: int = 64) -> str:
+    """DuckDB VALUES rows from the SAME weight generator the engine
+    broadcasts (the _minhash_seeds_values pattern): code and oracle
+    cannot silently diverge."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_weights
+
+    return ",\n      ".join(f"({f}, {w})" for f, w in quality_classifier_weights(dim))
+
+
+@_q(
+    "q82_ts_quality_classifier",
+    f"""
+    WITH w(f, wt) AS (VALUES
+      {_quality_weight_values(64)}),
+    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS ws
+          FROM d),
+    g AS (
+      SELECT doc_id, unnest(list_concat(ws,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE []::VARCHAR[] END)) AS g
+      FROM t),
+    c AS (SELECT doc_id,
+                 (('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT % 64)::INT AS f,
+                 count(*) AS c
+          FROM g GROUP BY 1, 2),
+    z AS (SELECT doc_id, sum(c * wt) AS z FROM c JOIN w USING (f) GROUP BY doc_id)
+    SELECT doc_id AS id, round(1 / (1 + exp(-z)), 6) AS quality_prob FROM z
+    """,
+)
+def q82(spark, sf_dir):
+    """CCNet/fastText-shaped linear quality classifier
+    (quality_classifier_scores) — hashed unigram+bigram bag, broadcast
+    weight dim, codegen dot product + sigmoid; the standard
+    pretraining quality scorer, gated over REAL corpus text. The
+    shuffle carries (doc, feature, count) rows capped at dim features
+    per doc; a trained model swaps in via the same (feature_id,
+    weight) table with zero plan change. The oracle interpolates the
+    byte-identical weight table and mirrors the full computation."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return quality_classifier_scores(
+        docs.select("doc_id", "text"), "doc_id", "text", dim=64
+    ).withColumnRenamed("doc_id", "id")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-4 rotation): the driver's correctness
 # harness evaluates only the FIRST 50 registered queries —

@@ -72,6 +72,7 @@ HEADLINE = [
     "q79_ts_repetition_metrics",
     "q80_dd_cross_corpus_overlap",
     "q81_curation_decision",
+    "q82_ts_quality_classifier",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -314,3 +314,83 @@ def curation_decision(
         reason.alias("reason"),
         reason.isNull().alias("keep"),
     )
+
+
+def quality_classifier_weights(dim: int = 64) -> list[tuple[int, float]]:
+    """Deterministic stand-in weight vector for the hashed-feature
+    quality classifier (a trained fastText/CCNet-style model's weights
+    drop into the same (feature_id, weight) shape): w(f) =
+    ((f * 2654435761) mod 1000) / 1000 - 0.5. Generated HERE and
+    interpolated into the oracle's VALUES list (the
+    _minhash_seeds_values pattern) so code and oracle can never
+    silently diverge."""
+    return [(f, ((f * 2654435761) % 1000) / 1000.0 - 0.5) for f in range(dim)]
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    bias: float = 0.0,
+    weights: list[tuple[int, float]] | None = None,
+) -> DataFrame:
+    """CCNet/fastText-shaped LINEAR quality classifier — the standard
+    pretraining-pipeline scorer (hashed unigram + bigram bag, linear
+    weights, sigmoid), expressed fully relationally:
+
+      tokens/bigrams -> portable-hash feature id (md5-60bit mod dim)
+      -> ONE map-side-combined groupBy (id, feature) count
+      -> broadcast join the dim-row weight table
+      -> sigmoid(bias + sum(count * w)) per doc.
+
+    The shuffle carries (doc, feature, count) rows capped at dim
+    features per doc — never the token stream; weights are a
+    broadcast dim exactly like the BM25 term dim. A TRAINED model
+    swaps in via the same (feature_id, weight) table with zero plan
+    change. Docs with no tokens produce no row. Scores rounded to 6dp
+    for cross-engine agreement."""
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_w"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.col("_w"),
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    fid = F.expr(
+        f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {dim}"
+    ).cast("int")
+    counts = grams.select("id", fid.alias("f")).groupBy("id", "f").agg(
+        F.count("*").alias("c")
+    )
+    w = spark.createDataFrame(
+        weights if weights is not None else quality_classifier_weights(dim),
+        "f int, w double",
+    ).coalesce(1)
+    z = counts.join(F.broadcast(w), "f").groupBy("id").agg(
+        (F.lit(bias) + F.sum(F.col("c") * F.col("w"))).alias("z")
+    )
+    return z.select(
+        F.col("id").alias(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias(
+            "quality_prob"
+        ),
+    )

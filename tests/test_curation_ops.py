@@ -933,3 +933,31 @@ def test_maintain_overlap_index_chained_equals_scratch(spark, tmp_path):
     got_replay = {(r["corpus_id"], r["batch_id"]) for r in replay.collect()}
     assert got_replay == first_pairs
     assert not any(c == b for c, b in got_replay), "self-pairs leaked on replay"
+
+
+def test_quality_classifier_trained_weights_drop_in(spark):
+    """The classifier's contract: a trained model swaps in as a
+    (feature_id, weight) table with zero plan change. All-positive
+    weights push every doc above 0.5, all-negative below; empty docs
+    emit no row; scores are deterministic across runs."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_scores
+
+    docs = spark.createDataFrame(
+        [(1, "good clean prose with several words"),
+         (2, "spam spam spam spam"),
+         (3, "")],
+        "id int, text string",
+    )
+    pos = [(f, 1.0) for f in range(64)]
+    neg = [(f, -1.0) for f in range(64)]
+    up = {r["id"]: r["quality_prob"]
+          for r in quality_classifier_scores(docs, "id", "text", weights=pos).collect()}
+    dn = {r["id"]: r["quality_prob"]
+          for r in quality_classifier_scores(docs, "id", "text", weights=neg).collect()}
+    assert set(up) == {1, 2} and set(dn) == {1, 2}  # empty doc omitted
+    assert all(v > 0.5 for v in up.values())
+    assert all(v < 0.5 for v in dn.values())
+    # deterministic default weights
+    a = sorted(map(tuple, quality_classifier_scores(docs, "id", "text").collect()))
+    b = sorted(map(tuple, quality_classifier_scores(docs, "id", "text").collect()))
+    assert a == b and len(a) == 2

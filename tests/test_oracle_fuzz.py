@@ -231,6 +231,7 @@ FUZZ_QUERIES = [
     "q79_ts_repetition_metrics",
     "q80_dd_cross_corpus_overlap",
     "q81_curation_decision",
+    "q82_ts_quality_classifier",
 ]
 
 
