@@ -2654,13 +2654,16 @@ def q76(spark, sf_dir):
 @_q(
     "q77_dd_cluster_survivors",
     """
-    SELECT doc_id::BIGINT AS id,
-           (CASE WHEN doc_id < 120 THEN doc_id - doc_id % 4
-                 ELSE doc_id END)::BIGINT AS cluster_id,
-           (CASE WHEN doc_id < 120 THEN doc_id - doc_id % 4
-                 ELSE doc_id END)::BIGINT AS survivor_id,
-           (doc_id >= 120 OR doc_id % 4 = 0) AS is_survivor
-    FROM documents WHERE doc_id < 150
+    WITH r AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id FROM documents),
+    d AS (SELECT id FROM r WHERE id < 150)
+    SELECT id::BIGINT AS id,
+           (CASE WHEN id < 120 THEN id - id % 4
+                 ELSE id END)::BIGINT AS cluster_id,
+           (CASE WHEN id < 120 THEN id - id % 4
+                 ELSE id END)::BIGINT AS survivor_id,
+           (id >= 120 OR id % 4 = 0) AS is_survivor
+    FROM d
     """,
 )
 def q77(spark, sf_dir):
@@ -2670,22 +2673,34 @@ def q77(spark, sf_dir):
     closure collapses A~B~C chains — the q74 edge construction (pairs
     merged into quads by a bridging edge) makes that closure
     closed-form: ids 0-119 form 30 quads with survivor 4j, ids 120-149
-    are singleton survivors. (Reference analogue: first-of-group keep
-    in the exact-dup scan, code/MEL/__init__.py:684-709.)"""
+    are singleton survivors. Fixture ids are DENSE BY CONSTRUCTION
+    (row_number over doc_id, r4 advice): the quad closure holds for
+    any corpus, sparse doc_ids included — and for any dense PREFIX
+    shorter than 150, since every within-quad bridge edge's generator
+    index is smaller than the member it links. (Reference analogue:
+    first-of-group keep in the exact-dup scan,
+    code/MEL/__init__.py:684-709.)"""
+    from pyspark.sql import Window
+
     from mel_tnnt_spark.operators.dedup import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    i = F.col("doc_id").cast("long")
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id")
+    ).where(F.col("id") < 150)
+    i = F.col("id")
     pairs = (
-        docs.where(F.col("doc_id") < 60)
+        d.where(i < 60)
         .select((i * 2).alias("id_a"), (i * 2 + 1).alias("id_b"))
         .unionByName(
-            docs.where(F.col("doc_id") < 30).select(
+            d.where(i < 30).select(
                 (i * 4 + 1).alias("id_a"), (i * 4 + 2).alias("id_b")
             )
         )
     )
-    return dedup_clusters(docs.select(i.alias("id")), pairs, id_col="id")
+    return dedup_clusters(d, pairs, id_col="id")
 
 
 @_q(
@@ -2846,27 +2861,29 @@ def q80(spark, sf_dir):
 @_q(
     "q81_curation_decision",
     """
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 150),
-    l AS (SELECT doc_id, lang FROM documents WHERE doc_id < 150)
-    SELECT d.doc_id::BIGINT AS id,
-           (CASE WHEN d.doc_id < 120 THEN d.doc_id - d.doc_id % 4
-                 ELSE d.doc_id END)::BIGINT AS cluster_id,
-           (CASE WHEN d.doc_id < 120 THEN d.doc_id - d.doc_id % 4
-                 ELSE d.doc_id END)::BIGINT AS survivor_id,
-           (CASE d.doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 3
-                              WHEN 2 THEN 5 ELSE 9 END)::BIGINT AS n_tokens,
-           CASE d.doc_id % 4 WHEN 2 THEN 0.75::DOUBLE ELSE 0.0::DOUBLE END
+    WITH r AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, lang
+      FROM documents),
+    d AS (SELECT id FROM r WHERE id < 150)
+    SELECT d.id::BIGINT AS id,
+           (CASE WHEN d.id < 120 THEN d.id - d.id % 4
+                 ELSE d.id END)::BIGINT AS cluster_id,
+           (CASE WHEN d.id < 120 THEN d.id - d.id % 4
+                 ELSE d.id END)::BIGINT AS survivor_id,
+           (CASE d.id % 4 WHEN 0 THEN 7 WHEN 1 THEN 3
+                          WHEN 2 THEN 5 ELSE 9 END)::BIGINT AS n_tokens,
+           CASE d.id % 4 WHEN 2 THEN 0.75::DOUBLE ELSE 0.0::DOUBLE END
              AS dup_line_frac,
-           (CASE d.doc_id % 4 WHEN 0 THEN round(1/7.0, 6)
-                              WHEN 1 THEN 0.5
-                              WHEN 2 THEN round(4/7.0, 6)
-                              ELSE round(1/8.0, 6) END)::DOUBLE AS top_2gram_frac,
-           (CASE d.doc_id % 4 WHEN 3 THEN 3 ELSE 0 END)::INT AS n_pii,
-           CASE WHEN d.doc_id < 120 AND d.doc_id % 4 != 0 THEN 'duplicate'
-                WHEN d.doc_id % 4 = 1 THEN 'too_short'
-                WHEN d.doc_id % 4 = 2 THEN 'repetitive'
-                WHEN d.doc_id % 4 = 3 THEN 'pii' END AS reason,
-           (d.doc_id % 4 = 0) AS keep
+           (CASE d.id % 4 WHEN 0 THEN round(1/7.0, 6)
+                          WHEN 1 THEN 0.5
+                          WHEN 2 THEN round(4/7.0, 6)
+                          ELSE round(1/8.0, 6) END)::DOUBLE AS top_2gram_frac,
+           (CASE d.id % 4 WHEN 3 THEN 3 ELSE 0 END)::INT AS n_pii,
+           CASE WHEN d.id < 120 AND d.id % 4 != 0 THEN 'duplicate'
+                WHEN d.id % 4 = 1 THEN 'too_short'
+                WHEN d.id % 4 = 2 THEN 'repetitive'
+                WHEN d.id % 4 = 3 THEN 'pii' END AS reason,
+           (d.id % 4 = 0) AS keep
     FROM d
     """,
 )
@@ -2879,10 +2896,21 @@ def q81(spark, sf_dir):
     every drop is auditable. Template text by doc_id % 4 makes every
     metric closed-form: the good doc, the 3-token doc, the
     4x-duplicate-line doc, and the 2-email+phone doc."""
+    from pyspark.sql import Window
+
     from mel_tnnt_spark.operators.textstats import curation_decision
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    i = F.col("doc_id").cast("long")
+    docs = _t(spark, sf_dir, "documents")
+    # dense ids by construction (row_number over doc_id, r4 advice):
+    # the quad-closure oracle needs ids 0..149 without gaps, which a
+    # sparse corpus's raw doc_ids cannot guarantee
+    d = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id"),
+        "lang",
+    ).where(F.col("id") < 150)
+    i = F.col("id")
     text = (
         F.when(i % 4 == 0, F.concat(F.lit("alpha "), F.col("lang"),
                                     F.lit(" beta gamma delta\nepsilon zeta eta")))
@@ -2890,12 +2918,12 @@ def q81(spark, sf_dir):
         .when(i % 4 == 2, F.lit("rr ss\nrr ss\nrr ss\nrr ss"))
         .otherwise(F.lit("contact a@b.co and c@d.co call 0412-345-678 now more words"))
     )
-    src = docs.select(i.alias("id"), text.alias("text"))
+    src = d.select(i.alias("id"), text.alias("text"))
     pairs = (
-        docs.where(F.col("doc_id") < 60)
+        d.where(i < 60)
         .select((i * 2).alias("id_a"), (i * 2 + 1).alias("id_b"))
         .unionByName(
-            docs.where(F.col("doc_id") < 30).select(
+            d.where(i < 30).select(
                 (i * 4 + 1).alias("id_a"), (i * 4 + 2).alias("id_b")
             )
         )

@@ -134,26 +134,55 @@ def main() -> None:
     total += kg_sec
 
     skipped = sorted(set(qs) - set(HEADLINE))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_kg_pipeline_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {**timings, "kg_pipeline": round(kg_sec, 3)},
-                "skipped": {"names": skipped, "reason": SKIP_REASON},
-                "sf": sf,
-                "kg": {
-                    "source_rows": n_rows,
-                    "triples": n_triples,
-                    "sec": round(kg_sec, 3),
-                    "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec else None,
-                    "cpus": cpus,
-                },
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_plus_kg_pipeline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {**timings, "kg_pipeline": round(kg_sec, 3)},
+        "skipped": {"names": skipped, "reason": SKIP_REASON},
+        "sf": sf,
+        "kg": {
+            "source_rows": n_rows,
+            "triples": n_triples,
+            "sec": round(kg_sec, 3),
+            "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec else None,
+            "cpus": cpus,
+        },
+    }
+
+    # Durability (VERDICT r4 #7): the driver keeps only the LAST 2000
+    # chars of stdout — r04's bench line outgrew that and its head was
+    # lost. So (a) persist the COMPLETE record to the repo root as
+    # BENCH_LOCAL_r{N}.json (the CORRECTNESS_LOCAL pattern; picked up
+    # by scripts/regression.py in preference to the driver artifact),
+    # and (b) keep the stdout line itself compact: tight separators and
+    # the skipped-list as a count+pointer instead of 30 names.
+    repo = Path(__file__).resolve().parent
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re
+
+        seen = [
+            int(m.group(1))
+            for p in repo.glob("BENCH_r*.json")
+            if (m := re.match(r"BENCH_r(\d+)\.json", p.name))
+        ]
+        rnd = f"{max(seen, default=0) + 1:02d}"
+    local = repo / f"BENCH_LOCAL_r{rnd}.json"
+    local.write_text(json.dumps(record, indent=1) + "\n")
+
+    stdout_record = dict(record)
+    # 2-decimal per-query rounding + count-only skipped block keep the
+    # line ~1.9k chars; full precision lives in the local artifact.
+    stdout_record["queries"] = {
+        k: round(v, 2) for k, v in record["queries"].items()
+    }
+    stdout_record["skipped"] = {"n": len(skipped), "full_list": local.name}
+    line = json.dumps(stdout_record, separators=(",", ":"))
+    # stop FIRST so no shutdown/progress output can land after the JSON
+    # inside the driver's bounded capture window
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

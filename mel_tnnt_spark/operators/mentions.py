@@ -52,6 +52,15 @@ MENTION_SCHEMA = StructType(
     ]
 )
 
+# MENTION_SCHEMA + the detector's per-(doc, model) emission position —
+# opt-in (detect_mentions(emit_ord=True)) for consumers that must
+# reproduce the reference's LIST order rather than offset order
+# (csv_ner_merge: a find-miss mention carries start=-1 but still holds
+# its emitted position in the reference's merged list; r4 advice).
+MENTION_ORD_SCHEMA = StructType(
+    MENTION_SCHEMA.fields + [StructField("emit_ord", IntegerType(), False)]
+)
+
 # span tuple: (category, entity, start, end)
 Detector = Callable[[str], list[tuple[str, str, int, int]]]
 
@@ -435,8 +444,23 @@ def detect_mentions(
     text_col: str = "preproc_text",
     max_chunk_chars: int = 65_536,
     preprocess: bool = False,
+    emit_ord: bool = False,
 ) -> DataFrame:
     """mapInPandas over (doc_id, text) batches -> long mention rows.
+
+    emit_ord=True appends the detector's per-(doc, model) emission
+    position (0-based, counted across chunk pieces in model order —
+    the reference scans the whole text per model) as `emit_ord`, for
+    consumers that need the reference's LIST order where offset order
+    diverges from it (a running text.find miss emits start=-1 mid-list,
+    code/NLP_NER/EntityRecognition.py:671-693).
+
+    Each `models` entry is a registered detector NAME or an inline
+    ("name", detector) pair — the pair's callable is pickled with the
+    task closure, so a custom/trained model slots in without touching
+    the worker-side registry (the M1 slot-in contract, and how tests
+    pin emission-order semantics the shipped text-derived chunkers
+    cannot produce, e.g. a mid-list find miss).
 
     Only the two needed columns cross the Arrow boundary (column pruning
     by construction); batch size is bounded by
@@ -466,10 +490,16 @@ def detect_mentions(
     narrow = df.select("doc_id", F.col(text_col).alias("_text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import defaultdict
+
         registry = _detectors()
-        cols = [f.name for f in MENTION_SCHEMA.fields]
-        per_doc = [m for m in models if not hasattr(registry[m], "detect_batch")]
-        batched = [m for m in models if hasattr(registry[m], "detect_batch")]
+        schema = MENTION_ORD_SCHEMA if emit_ord else MENTION_SCHEMA
+        cols = [f.name for f in schema.fields]
+        resolved = [
+            (m, registry[m]) if isinstance(m, str) else (m[0], m[1]) for m in models
+        ]
+        per_doc = [(n, d) for n, d in resolved if not hasattr(d, "detect_batch")]
+        batched = [(n, d) for n, d in resolved if hasattr(d, "detect_batch")]
         for pdf in batches:
             c_doc: list = []
             c_model: list = []
@@ -478,6 +508,7 @@ def detect_mentions(
             c_s: list = []
             c_e: list = []
             c_sent: list = []
+            c_ord: list = []
             doc_ids = list(pdf["doc_id"])
             if preprocess:
                 texts = clean_preprocess_series(pdf["_text"]).tolist()
@@ -486,7 +517,7 @@ def detect_mentions(
             # batch-capable models: ONE vectorized inference call per
             # Arrow batch (sequence bounding is the model's own job,
             # like the reference's per-model BERT splitter)
-            batch_spans = {m: registry[m].detect_batch(texts) for m in batched}
+            batch_spans = {n: d.detect_batch(texts) for n, d in batched}
             for i, (doc_id, text) in enumerate(zip(doc_ids, texts)):
                 if not text:
                     continue
@@ -495,9 +526,13 @@ def detect_mentions(
                     pieces = split_long_text(text, max_chunk_chars)
                 else:
                     pieces = [(0, text)]
+                # per-(doc, model) emission counter: the piece-major
+                # append order below still numbers each model's
+                # mentions in its own sequential-scan order
+                ords: dict[str, int] = defaultdict(int)
                 for base, piece in pieces:
-                    for model in per_doc:
-                        for category, entity, start, end in registry[model](piece):
+                    for model, det in per_doc:
+                        for category, entity, start, end in det(piece):
                             c_doc.append(doc_id)
                             c_model.append(model)
                             c_cat.append(category)
@@ -505,7 +540,10 @@ def detect_mentions(
                             c_s.append(base + start)
                             c_e.append(base + end)
                             c_sent.append(lookup(base + start))
-                for model in batched:
+                            if emit_ord:
+                                c_ord.append(ords[model])
+                                ords[model] += 1
+                for model, _det in batched:
                     for category, entity, start, end in batch_spans[model][i]:
                         c_doc.append(doc_id)
                         c_model.append(model)
@@ -514,11 +552,15 @@ def detect_mentions(
                         c_s.append(start)
                         c_e.append(end)
                         c_sent.append(lookup(start))
-            yield pd.DataFrame(
-                dict(zip(cols, [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]))
-            )
+                        if emit_ord:
+                            c_ord.append(ords[model])
+                            ords[model] += 1
+            data = [c_doc, c_model, c_cat, c_ent, c_s, c_e, c_sent]
+            if emit_ord:
+                data.append(c_ord)
+            yield pd.DataFrame(dict(zip(cols, data)))
 
-    return narrow.mapInPandas(run, MENTION_SCHEMA)
+    return narrow.mapInPandas(run, MENTION_ORD_SCHEMA if emit_ord else MENTION_SCHEMA)
 
 
 _CELL_SEP = "\x1f"  # unit separator: composite cell-id delimiter
@@ -543,9 +585,12 @@ def csv_ner_merge(
     (composite id doc␟cell so only two columns cross the Arrow
     boundary, same as detect_mentions), then
     - `merge_ord`  = row_number over (doc, model, category) ordered by
-      (cell_index, start_index, end_index) — cell order first, offset
-      order within a cell (identical to the chunk-scan detectors'
-      emission order, whose running find yields ascending starts);
+      (cell_index, emit_ord) — cell order first, the detector's OWN
+      emission order within a cell (detect_mentions(emit_ord=True)).
+      Offset order is NOT a safe stand-in: a running text.find miss
+      emits start=-1 mid-list, which would sort before earlier
+      mentions and diverge from the reference merged-list position
+      (r4 advice; pinned in test_csv_ner_merge_find_miss_order);
     - `category_count` = the reference's number-of-entities.
     Both are functions of the DATA (cell_index), never of partition or
     row order, so the output is invariant under shuffled input
@@ -562,7 +607,7 @@ def csv_ner_merge(
         ).alias("doc_id"),
         F.col(text_col).alias("_cell_text"),
     )
-    m = detect_mentions(src, models=models, text_col="_cell_text")
+    m = detect_mentions(src, models=models, text_col="_cell_text", emit_ord=True)
     # Decompose from the RIGHT: exactly one separator + index was
     # appended, so the last part is the cell index and rejoining the
     # rest reconstructs the doc id EXACTLY even if it contains the
@@ -580,13 +625,14 @@ def csv_ner_merge(
         "start_index",
         "end_index",
         "sentence",
+        "emit_ord",
     )
-    wo = Window.partitionBy(doc_col, "model", "category").orderBy(
-        idx_col, "start_index", "end_index", "entity"  # entity: determinism backstop
-    )
+    wo = Window.partitionBy(doc_col, "model", "category").orderBy(idx_col, "emit_ord")
     wc = Window.partitionBy(doc_col, "model", "category")
-    return m.withColumn("merge_ord", F.row_number().over(wo)).withColumn(
-        "category_count", F.count("*").over(wc)
+    return (
+        m.withColumn("merge_ord", F.row_number().over(wo))
+        .withColumn("category_count", F.count("*").over(wc))
+        .drop("emit_ord")
     )
 
 

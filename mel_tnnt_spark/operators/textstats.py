@@ -286,7 +286,13 @@ def curation_decision(
         F.col("id").alias(id_col),
         (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias("n_pii"),
     )
-    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
+    # NULL text -> '' like the sibling metrics: size(regexp(NULL)) is -1
+    # under default config (doc dropped as 'too_short' by accident) and
+    # NULL under ANSI semantics (doc silently KEPT) — coalescing makes
+    # NULL text deterministically n_tokens=0 -> 'too_short' (r4 advice)
+    ws = F.size(
+        F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[^ ]+', 0)")
+    )
     toks = docs.select(F.col(id_col), ws.cast("long").alias("n_tokens"))
     j = (
         cl.join(toks, id_col)

@@ -66,23 +66,53 @@ def test_partition_metrics_totals_and_skew(spark, tmp_path):
 def test_runtime_regression_tracker(tmp_path):
     """F18 — per-round runtime comparison flags slowdowns beyond the
     noise threshold, in both time (higher=worse) and throughput
-    (lower=worse) rows."""
+    (lower=worse) rows. Exercised against the REAL driver artifact
+    shape ({"tail","parsed"} with timings under parsed.queries), the
+    truncated-tail shape (parsed null — the committed r04), and the
+    bare bench-JSON shape bench.py emits."""
     import json
     import sys
 
     sys.path.insert(0, "/root/repo/scripts")
-    from regression import load_history, regressions
+    from regression import load_history, load_round, regressions
 
+    # driver shape: timings nest under parsed.queries (the real shape —
+    # the r4 tracker read top-level "queries" and loaded zero rows)
     (tmp_path / "BENCH_r01.json").write_text(json.dumps(
-        {"queries": {"q01": 1.0, "q02": 2.0}, "kg": {"triples_per_sec": 1000}}))
+        {"n": 1, "rc": 0, "cpus": 32, "sf": 0.1, "tail": "...",
+         "parsed": {"queries": {"q01": 1.0, "q02": 2.0},
+                    "kg": {"triples_per_sec": 1000}}}))
+    # truncated driver shape: parsed null, pairs recoverable from tail
     (tmp_path / "BENCH_r02.json").write_text(json.dumps(
-        {"queries": {"q01": 1.2, "q02": 4.0}, "kg": {"triples_per_sec": 400}}))
+        {"n": 2, "rc": 0, "cpus": 32, "sf": 0.1,
+         "tail": 'kens": 0.275, "q01": 1.2, "q02": 4.0}, '
+                 '"kg": {"triples_per_sec": 400}}',
+         "parsed": None}))
     hist = load_history(tmp_path)
     assert [t for t, _ in hist] == ["r01", "r02"]
     flagged = {q: ratio for q, _, _, _, _, ratio in regressions(hist, 1.5)}
     assert "q01" not in flagged            # 1.2x is inside noise
     assert abs(flagged["q02"] - 2.0) < 1e-9
     assert abs(flagged["_kg_triples_per_sec"] - 2.5) < 1e-9
+
+    # complete local artifact (bare bench JSON) overrides the tail scrape
+    (tmp_path / "BENCH_LOCAL_r02.json").write_text(json.dumps(
+        {"queries": {"q01": 1.1, "q02": 2.1}, "kg": {"triples_per_sec": 950}}))
+    hist2 = dict(load_history(tmp_path))
+    assert hist2["r02"]["q02"] == 2.1
+    assert not regressions(list(hist2.items()), 1.5)
+
+    # the committed real history must load non-empty for every round
+    from pathlib import Path
+    real = load_history(Path("/root/repo"))
+    assert len(real) >= 4
+    assert all(len(q) >= 10 for _, q in real), [
+        (t, len(q)) for t, q in real]
+    # r04's artifact is the truncated one — its rows must come back
+    r04 = dict(real).get("r04", {})
+    assert "q82_ts_quality_classifier" in r04
+    # and a raw committed artifact parses through load_round directly
+    assert len(load_round(Path("/root/repo/BENCH_r03.json"))) >= 40
 
 
 def test_asof_join_semantics_and_plan(spark):

@@ -101,6 +101,45 @@ def test_nltk_rescan_preserves_reference_quirks():
     assert nltk_category_rescan_spans("x", [("x", "Z")], ("A",)) == []
 
 
+def test_csv_ner_merge_find_miss_order(spark):
+    """merge_ord follows the detector's EMISSION order, not offset
+    order: a find-miss mention (start=-1) emitted mid-list keeps its
+    merged-list position instead of sorting first (r4 advice — the
+    reference concatenates per-cell lists verbatim,
+    code/NLP_NER/EntityRecognition.py:936-992)."""
+    from mel_tnnt_spark.operators.mentions import csv_ner_merge
+
+    def find_miss_detector(text):
+        # Reference-shaped running-find scan over a FIXED surface list
+        # (what a real NLTK chunker produces after normalization):
+        # 'Ghost' is absent from the text, so its item keeps start=-1
+        # at position 2 in the emitted list, offset still advancing.
+        # Nested def: cloudpickle serializes it by VALUE into the task
+        # closure (the inline-detector slot-in path).
+        from mel_tnnt_spark.operators.mentions import nltk_category_rescan_spans
+
+        return nltk_category_rescan_spans(
+            text,
+            [("Alpha", "A"), ("Beta", "A"), ("Ghost", "A"), ("Omega", "A")],
+            ("A",),
+        )
+
+    cells = spark.createDataFrame(
+        [("d1", 0, "Alpha then Beta then Omega")],
+        "doc_id string, cell_index int, cell_text string",
+    )
+    out = csv_ner_merge(cells, models=(("find_miss_model", find_miss_detector),))
+    rows = sorted(out.collect(), key=lambda r: r["merge_ord"])
+    assert [(r["entity"], r["start_index"]) for r in rows] == [
+        ("Alpha", 0),
+        ("Beta", 11),
+        ("Ghost", -1),   # offset-sorted this would come FIRST
+        ("Omega", 21),
+    ]
+    assert [r["merge_ord"] for r in rows] == [1, 2, 3, 4]
+    assert {r["category_count"] for r in rows} == {4}
+
+
 def test_csv_ner_merge_order_stability(spark):
     """The merge order is a function of cell_index, never of physical
     row order: shuffling/reversing the cells DataFrame yields the
