@@ -658,6 +658,173 @@ def overlap_pairs_against(
     )
 
 
+FP_INDEX_VERSION = 2  # full-window winnowing minima, md5-60bit hash
+_OVERLAP_META = "_overlap_meta.json"
+_FP_SUBDIR = "fp"
+_FP_LOG_SUBDIR = "fp_log"
+_LOG_STAGING_PREFIX = "__staging-"
+DEFAULT_COMPACT_EVERY = 16
+
+
+def _overlap_meta_check(index_path: str, n: int, window: int, n_buckets: int) -> int:
+    """Pin the fingerprint DEFINITION to the index (round-4 advice):
+    an index is only comparable to batches winnowed with the SAME
+    (n, window, algorithm version) — a silent mix yields missed or
+    spurious contamination pairs. Written at creation, verified on
+    every subsequent call; mismatch raises instead of corrupting.
+    Also records the bucket layout (base table and append-log must
+    share one bucket function); returns the pinned n_buckets."""
+    import json
+    import os
+
+    mp = os.path.join(index_path, _OVERLAP_META)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            meta = json.load(f)
+        got = (meta.get("n"), meta.get("window"), meta.get("fp_version"))
+        want = (n, window, FP_INDEX_VERSION)
+        if got != want:
+            raise ValueError(
+                f"overlap index at {index_path} was built with "
+                f"(n, window, fp_version)={got}; this call uses {want} — "
+                "mixed fingerprint definitions are incomparable. Rebuild "
+                "the index or call with the recorded parameters."
+            )
+        return int(meta.get("n_buckets", n_buckets))
+    os.makedirs(index_path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump(
+            {"n": n, "window": window, "fp_version": FP_INDEX_VERSION,
+             "n_buckets": n_buckets}, f
+        )
+    return n_buckets
+
+
+def _migrate_overlap_index_v1(spark, index_path: str, n_buckets: int) -> None:
+    """One-time layout migration (documented O(table), like the merge
+    sink's legacy-flat path): a pre-round-5 index is a merge table AT
+    index_path keyed (id, fingerprint) — bucketed on the PAIR hash, so
+    a fingerprint probe cannot prune. Rewrite it under index_path/fp
+    keyed (fingerprint, id) and bucketed on (fingerprint,) alone.
+    Assumes the old index was built with the current fingerprint
+    definition (there is no way to tell from the data; the new meta
+    pins it from here on)."""
+    import os
+    import shutil
+
+    from mel_tnnt_spark.operators.merge_sink import _META_FILE, _recover, merge_upsert
+
+    old_meta = os.path.join(index_path, _META_FILE)
+    if not os.path.exists(old_meta):
+        return
+    _recover(index_path)
+    # read ONLY the old kb= dirs: a retry after a crash mid-migration
+    # sees both layouts side by side, and a bare read of index_path
+    # would mix the new fp/ subtree into the old table
+    old_dirs = [
+        os.path.join(index_path, d)
+        for d in sorted(os.listdir(index_path))
+        if d.startswith("kb=")
+    ]
+    fp_path = os.path.join(index_path, _FP_SUBDIR)
+    if old_dirs:
+        old = (
+            spark.read.option("basePath", index_path).parquet(*old_dirs).drop("kb")
+        )
+        id_col = [c for c in old.columns if c != "fingerprint"][0]
+        rows = old.select("fingerprint", id_col).localCheckpoint(eager=True)
+        merge_upsert(
+            spark, fp_path, rows, keys=("fingerprint", id_col),
+            bucket_keys=("fingerprint",), n_buckets=n_buckets,
+        )
+    for entry in os.listdir(index_path):
+        if entry.startswith("kb=") or entry == _META_FILE:
+            p = os.path.join(index_path, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+
+def _batch_tag(bfp) -> str:
+    """Order-independent content hash of a fingerprint batch — the
+    append-log's idempotency key. A replayed batch (same rows, any
+    order/partitioning) produces the same tag, so its log directory
+    already exists and the append is skipped. Fully distributed: one
+    sum of per-row xxhash64 plus a count, collected as a single row."""
+    row = bfp.select(
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # (ANSI mode raises); decimal(38,0) holds ~10^18 rows of slack
+        F.sum(F.xxhash64("id", "fingerprint").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("c"),
+    ).collect()[0]
+    return f"{int(row['h'] or 0) & ((1 << 64) - 1):016x}-{row['c']}"
+
+
+def _log_batch_dirs(log_path: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(log_path):
+        return []
+    return sorted(
+        d for d in os.listdir(log_path) if d.startswith("batch=")
+    )
+
+
+def _read_log_pruned(spark, log_path: str, probe, n_buckets: int):
+    """Read the append-log rows in the buckets `probe`'s fingerprints
+    hash into: O(|log| ∩ touched buckets), log size bounded by the
+    compaction threshold. Returns None when the log is empty."""
+    import os
+
+    from mel_tnnt_spark.operators.merge_sink import _bucket_expr
+
+    dirs = _log_batch_dirs(log_path)
+    if not dirs:
+        return None
+    kb = _bucket_expr(("fingerprint",), n_buckets)
+    touched = {r[0] for r in probe.select(kb.alias("_b")).distinct().collect()}
+    paths = [
+        os.path.join(log_path, d, f"kb={b}")
+        for d in dirs
+        for b in sorted(touched)
+        if os.path.isdir(os.path.join(log_path, d, f"kb={b}"))
+    ]
+    if not paths:
+        return None
+    return (
+        spark.read.option("basePath", log_path)
+        .parquet(*paths)
+        .drop("kb", "batch")
+    )
+
+
+def read_overlap_index(spark, index_path: str, id_col: str = "id"):
+    """The logical fingerprint index: base ∪ log, deduped on
+    (fingerprint, id) — the view the probe joins against. None when
+    the index holds nothing yet."""
+    import os
+
+    fp_path = os.path.join(index_path, _FP_SUBDIR)
+    log_path = os.path.join(index_path, _FP_LOG_SUBDIR)
+    sides = []
+    if os.path.isdir(fp_path):
+        from mel_tnnt_spark.operators.merge_sink import read_merged
+
+        sides.append(read_merged(spark, fp_path).select("fingerprint", id_col))
+    dirs = _log_batch_dirs(log_path)
+    if dirs:
+        sides.append(
+            spark.read.option("basePath", log_path)
+            .parquet(*[os.path.join(log_path, d) for d in dirs])
+            .drop("kb", "batch")
+            .select("fingerprint", id_col)
+        )
+    if not sides:
+        return None
+    idx = sides[0]
+    for s in sides[1:]:
+        idx = idx.unionByName(s)
+    return idx.dropDuplicates(["fingerprint", id_col])
+
+
 def maintain_overlap_index(
     spark,
     index_path: str,
@@ -668,50 +835,134 @@ def maintain_overlap_index(
     window: int = 4,
     min_shared: int = 2,
     max_df: int | None = 50,
+    n_buckets: int = 16,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
 ) -> DataFrame:
     """Stateful twin of overlap_pairs_against: check `batch` against
     the PERSISTED fingerprint index at index_path, then fold the
-    batch's fingerprints into the index through the O(touched-buckets)
-    MERGE sink (keys = (id, fingerprint)) — the same
-    check-then-maintain shape as stream_maintain_components. Returns
-    the contamination pairs of THIS batch vs the prior corpus
-    (materialized before the merge, so the batch never matches
-    itself). Chained batches =~ from-scratch cross-step pairs is
-    test-pinned (test_maintain_overlap_index_chained_equals_scratch).
+    batch's fingerprints in. Returns the contamination pairs of THIS
+    batch vs the prior corpus (materialized before the fold-in, so the
+    batch never matches itself). Chained batches == from-scratch
+    cross-step pairs is test-pinned
+    (test_maintain_overlap_index_chained_equals_scratch).
 
-    REPLAY-SAFE: a batch that already reached the index (caller
-    crashed after the merge committed, then retried — the merge sink's
-    explicit replay model) would otherwise find its OWN fingerprints
-    in the index and report every replayed doc as self-contaminated,
-    while double-counting its fingerprints in the df-guard; the index
-    side therefore anti-joins the batch's ids out before pairing, so a
-    retried call returns exactly the original pairs. The batch is
-    winnowed ONCE (fingerprints feed both the pair check and the
-    merge, cached for the call's duration)."""
+    O(BATCH) PER BATCH (the round-4 scale fix — per-batch cost must
+    not grow with corpus size, the property stream_maintain_components
+    already has). The index is an LSM-shaped pair:
+
+    - `fp/` — the compacted BASE: a merge table keyed
+      (fingerprint, id) but BUCKETED on (fingerprint,) alone (Iceberg
+      `bucket(n, fingerprint)` layout), so a probe reads only the
+      bucket partitions its fingerprints hash into
+      (read_merged_pruned; bounded collect of <= n_buckets ids);
+    - `fp_log/batch=<tag>/kb=*/` — per-batch APPENDS in the same
+      bucket layout. Folding a batch in writes O(batch) bytes and
+      never rewrites existing data (a keyed MERGE would re-read and
+      rewrite every touched bucket — O(index) per batch once batches
+      carry more distinct fingerprints than there are buckets, which
+      is the common case for text);
+    - every `compact_every` batches the log is merged into the base
+      (one O(touched-buckets) MERGE amortized over the window) and the
+      log directories are dropped.
+
+    The probe is the union of the pruned base and pruned log, narrowed
+    by a BROADCAST semi-join on the batch's distinct fingerprints —
+    the index side is never shuffled. The document-frequency guard is
+    recomputed over exactly (matched UNION batch) rows, never the full
+    index. At 100 TB the probe is a column-pruned scan of the touched
+    buckets' (fingerprint, id) pairs — embarrassingly parallel, zero
+    shuffle; raise n_buckets (thousands) so small probes prune, and on
+    a real lakehouse add parquet bloom filters on `fingerprint` so
+    rare-match probes skip row groups entirely.
+
+    CRASH/REPLAY-SAFE, all windows:
+    - append: the batch's log dir name is an order-independent content
+      hash of its rows — a replayed batch finds its dir and skips the
+      write; a crash mid-write leaves only a `__staging-` dir, swept
+      on the next call. A replayed batch whose rows are already
+      readable would otherwise report itself as contamination, so the
+      index side anti-joins the batch's ids out before pairing and the
+      guard dedups on (fingerprint, id) — a retried call returns
+      exactly the original pairs.
+    - compaction: merge-then-delete; a crash between them leaves rows
+      readable in BOTH base and log, which the probe's
+      (fingerprint, id) dedup absorbs, and the next compaction
+      re-merges idempotently (keyed upsert) before deleting.
+    - pairs are localCheckpoint-ed (not persisted) before the fold-in:
+      eviction-triggered recompute from a mutated index would be
+      silently wrong; truncated lineage makes it a deterministic error.
+
+    The fingerprint definition (n, window, algorithm version) and the
+    bucket layout are pinned in index metadata; calls with a different
+    definition raise (round-4 advice)."""
     import os
+    import shutil
 
-    from mel_tnnt_spark.operators.merge_sink import _recover, merge_upsert, read_merged
+    from mel_tnnt_spark.operators.merge_sink import (
+        _bucket_expr,
+        _recover,
+        merge_upsert,
+        read_merged_pruned,
+    )
 
-    _recover(index_path)
+    n_buckets = _overlap_meta_check(index_path, n, window, n_buckets)
+    _migrate_overlap_index_v1(spark, index_path, n_buckets)
+    fp_path = os.path.join(index_path, _FP_SUBDIR)
+    log_path = os.path.join(index_path, _FP_LOG_SUBDIR)
+    _recover(fp_path)
+    if os.path.isdir(log_path):  # sweep crashed appends
+        for d in os.listdir(log_path):
+            if d.startswith(_LOG_STAGING_PREFIX):
+                shutil.rmtree(os.path.join(log_path, d), ignore_errors=True)
     bfp = winnowing_fingerprints(batch, id_col, text_col, n, window).persist()
     try:
-        if os.path.isdir(index_path):
-            batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
-            idx = (
-                read_merged(spark, index_path)
+        probe = bfp.select("fingerprint").distinct()
+        sides = []
+        if os.path.isdir(fp_path):
+            sides.append(
+                read_merged_pruned(spark, fp_path, probe)
                 .withColumnRenamed(id_col, "id")
-                .join(batch_ids, "id", "left_anti")
-                .withColumnRenamed("id", id_col)
             )
-            # localCheckpoint, not persist: the pairs MUST be
-            # materialized before the merge mutates the index, and a
-            # persist whose blocks get evicted would silently RECOMPUTE
-            # from the mutated index (wrong pairs); truncated lineage
-            # turns that into a deterministic error instead
-            pairs = overlap_pairs_against(
-                idx, batch, id_col, text_col, n, window, min_shared, max_df,
-                batch_fp=bfp,
-            ).localCheckpoint(eager=True)
+        log_side = _read_log_pruned(spark, log_path, probe, n_buckets)
+        if log_side is not None:
+            sides.append(log_side.withColumnRenamed(id_col, "id"))
+        if sides:
+            idx = sides[0]
+            for s in sides[1:]:
+                idx = idx.unionByName(s)
+            # (fingerprint, id) dedup absorbs the compaction crash
+            # window (rows readable in both base and log)
+            matched = (
+                idx.join(F.broadcast(probe), "fingerprint")
+                .dropDuplicates(["fingerprint", "id"])
+            )
+            # union document frequency per batch fingerprint, exact on
+            # replay: matched already holds a replayed batch's rows, so
+            # dedup again after the batch union before counting
+            guard = (
+                matched.select("fingerprint", "id")
+                .unionByName(bfp.select("fingerprint", "id"))
+                .dropDuplicates(["fingerprint", "id"])
+                .groupBy("fingerprint")
+                .agg(F.count("*").alias("_df"))
+            )
+            if max_df is not None:
+                guard = guard.where(F.col("_df") <= max_df)
+            rare = guard.select("fingerprint")
+            batch_ids = bfp.select("id").distinct()
+            corpus_side = matched.join(batch_ids, "id", "left_anti")
+            pairs = (
+                corpus_side.join(rare, "fingerprint")
+                .alias("a")
+                .join(bfp.join(rare, "fingerprint").alias("b"), "fingerprint")
+                .groupBy(
+                    F.col("a.id").alias("corpus_id"),
+                    F.col("b.id").alias("batch_id"),
+                )
+                .agg(F.count("*").alias("shared"))
+                .where(F.col("shared") >= min_shared)
+                .localCheckpoint(eager=True)
+            )
         else:
             from pyspark.sql.types import LongType, StructField, StructType
 
@@ -726,12 +977,131 @@ def maintain_overlap_index(
                     ]
                 ),
             )
-        merge_upsert(
-            spark,
-            index_path,
-            bfp.withColumnRenamed("id", id_col),
-            keys=(id_col, "fingerprint"),
-        )
+
+        # fold-in: content-addressed append, O(batch), no rewrite
+        tag = _batch_tag(bfp)
+        dest = os.path.join(log_path, f"batch={tag}")
+        if not os.path.isdir(dest):
+            os.makedirs(log_path, exist_ok=True)
+            staging = os.path.join(log_path, f"{_LOG_STAGING_PREFIX}{tag}")
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                bfp.select("fingerprint", F.col("id").alias(id_col))
+                .withColumn("kb", _bucket_expr(("fingerprint",), n_buckets))
+                .repartition(F.col("kb"))
+                .write.mode("overwrite")
+                .partitionBy("kb")
+                .parquet(staging)
+            )
+            os.rename(staging, dest)
+
+        # amortized compaction: log -> base MERGE, then drop log dirs
+        dirs = _log_batch_dirs(log_path)
+        if len(dirs) >= compact_every:
+            log_all = (
+                spark.read.option("basePath", log_path)
+                .parquet(*[os.path.join(log_path, d) for d in dirs])
+                .drop("kb", "batch")
+                .dropDuplicates(["fingerprint", id_col])
+            )
+            merge_upsert(
+                spark, fp_path, log_all,
+                keys=("fingerprint", id_col),
+                bucket_keys=("fingerprint",),
+                n_buckets=n_buckets,
+            )
+            for d in dirs:
+                shutil.rmtree(os.path.join(log_path, d), ignore_errors=True)
     finally:
         bfp.unpersist()
     return pairs
+
+
+def excise_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """EXACT duplicated-span REMOVAL — the standard LLM-curation
+    operator ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2021, ExactSubstr): any token run of length
+    >= k occurring more than once across (or within) the corpus is
+    excised from every occurrence EXCEPT the globally first one
+    (min (id, position)); winnowing/q80 only *flags* overlapping
+    document pairs, this rewrites the text. Reference analogue: the
+    exact-duplicate scan (code/MEL/__init__.py:684-709) detects but
+    never removes.
+
+    Relational formulation (no suffix arrays — the suffix-array
+    construction of the paper is a single-machine algorithm; the
+    sliding k-gram join below is its shuffle-parallel equivalent with
+    identical output for >= k-token runs):
+
+      tokens (case-preserving whitespace split)
+      -> sliding k-gram per position, ONE codegen md5 per gram
+      -> groupBy gram hash: occurrence count + min(id, pos) survivor
+         (map-side combined; shuffle carries (id, pos, hash))
+      -> non-survivor occurrences explode to their k covered token
+         indices (only DUPLICATED regions explode — cost linear in
+         duplicated text, not corpus)
+      -> per-doc removed-index array joined back; tokens kept via an
+         index-aware codegen filter; rejoin with single spaces.
+
+    Every duplicated >= k-token run is covered by construction: each
+    of its length-k windows is a duplicated gram, and their covered
+    ranges tile the run. Output is whitespace-NORMALIZED (tokens
+    rejoined with ' '), the same contract as pii_scrub's rewrite.
+    Deterministic, idempotent (a second pass removes nothing: the
+    survivor occurrence is unique afterwards). Docs shorter than k
+    tokens pass through untouched.
+
+    At 100 TB: two linear shuffles (gram hash, doc id), zero UDFs,
+    no pairwise joins — boilerplate-heavy corpora skew the gram-hash
+    shuffle, which AQE skew-split handles; the md5 is portable so a
+    DuckDB oracle mirrors bit-for-bit (q83)."""
+    if k < 1:
+        raise ValueError(f"excise_duplicate_spans: k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_w"),
+    )
+    grams_arr = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.array_join(F.slice("_w", i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select(
+        "id", F.posexplode(grams_arr).alias("p", "g")
+    ).select("id", "p", F.expr(_h("g")).alias("h"))
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct("id", "p")).alias("_surv"),
+        )
+        .where(F.col("_c") >= 2)
+        .select("h", "_surv")
+    )
+    excise = occ.join(dup, "h").where(
+        ~((F.col("id") == F.col("_surv.id")) & (F.col("p") == F.col("_surv.p")))
+    )
+    removed = (
+        excise.select("id", F.explode(F.sequence("p", F.col("p") + (k - 1))).alias("t"))
+        .groupBy("id")
+        .agg(F.collect_set("t").alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return (
+        toks.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                " ",
+                F.filter("_w", lambda tok, i: ~F.array_contains(rm, i)),
+            ).alias("clean_text"),
+            F.size(rm).alias("n_tokens_removed"),
+        )
+    )

@@ -871,9 +871,9 @@ def test_maintain_overlap_index_chained_equals_scratch(spark, tmp_path):
     from mel_tnnt_spark.operators.dedup import (
         maintain_overlap_index,
         overlap_pairs_against,
+        read_overlap_index,
         winnowing_fingerprints,
     )
-    from mel_tnnt_spark.operators.merge_sink import read_merged
 
     para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     batches = [
@@ -925,11 +925,11 @@ def test_maintain_overlap_index_chained_equals_scratch(spark, tmp_path):
             last, "id", "text", min_shared=1, max_df=None,
         ).collect()
     }
-    n_before = read_merged(spark, idx).count()
+    n_before = read_overlap_index(spark, idx).count()
     replay = maintain_overlap_index(
         spark, idx, last, "id", "text", min_shared=1, max_df=None
     )
-    assert read_merged(spark, idx).count() == n_before
+    assert read_overlap_index(spark, idx).count() == n_before
     got_replay = {(r["corpus_id"], r["batch_id"]) for r in replay.collect()}
     assert got_replay == first_pairs
     assert not any(c == b for c, b in got_replay), "self-pairs leaked on replay"
@@ -961,3 +961,320 @@ def test_quality_classifier_trained_weights_drop_in(spark):
     a = sorted(map(tuple, quality_classifier_scores(docs, "id", "text").collect()))
     b = sorted(map(tuple, quality_classifier_scores(docs, "id", "text").collect()))
     assert a == b and len(a) == 2
+
+
+def test_quality_classifier_hash_paths_agree_and_stay_codegen(spark):
+    """The production feature hash is xxhash64 (VERDICT r4 #4 — no
+    md5 hex round-trip per gram); md5 survives only behind
+    portable_hash=True for the DuckDB oracle gate. At dim=1 both
+    hashes collapse every gram to feature 0, so the two paths must
+    score BIT-identically — an exact cross-check that the switch
+    changes only the hash, never the bag/count/dot-product plan. Both
+    plans must stay UDF-free (whole-stage codegen end to end)."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one token"), (3, "solo")],
+        "id int, text string",
+    )
+    fast = quality_classifier_scores(docs, "id", "text", dim=1)
+    slow = quality_classifier_scores(docs, "id", "text", dim=1,
+                                     portable_hash=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    for df in (fast, slow):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # distinct dims actually split features on the fast path
+    wide = quality_classifier_scores(docs, "id", "text", dim=64)
+    assert {r["id"] for r in wide.collect()} == {1, 2, 3}
+
+
+def test_overlap_index_meta_pins_fingerprint_definition(spark, tmp_path):
+    """Round-4 advice: an index is only comparable to batches winnowed
+    with the SAME (n, window, fp_version); a call with different
+    parameters must raise instead of silently mixing incompatible
+    fingerprint definitions (missed/spurious contamination pairs)."""
+    import pytest
+
+    from mel_tnnt_spark.operators.dedup import maintain_overlap_index
+
+    idx = str(tmp_path / "pinned")
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "id bigint, text string",
+    )
+    maintain_overlap_index(spark, idx, b, "id", "text", n=3, window=4)
+    with pytest.raises(ValueError, match="fingerprint definitions"):
+        maintain_overlap_index(spark, idx, b, "id", "text", n=3, window=5)
+    with pytest.raises(ValueError, match="fingerprint definitions"):
+        maintain_overlap_index(spark, idx, b, "id", "text", n=4, window=4)
+    # same parameters still fine (replay path)
+    maintain_overlap_index(spark, idx, b, "id", "text", n=3, window=4)
+
+
+def test_overlap_index_v1_layout_migrates_and_pairs_match(spark, tmp_path):
+    """A pre-round-5 index — a merge table AT index_path keyed
+    (id, fingerprint), bucketed on the pair hash — is migrated once to
+    the fingerprint-bucketed layout under index_path/fp; the next
+    batch's pairs equal the from-scratch answer and the old kb= dirs
+    are gone (no mixed layout left behind)."""
+    import os
+
+    from mel_tnnt_spark.operators.dedup import (
+        maintain_overlap_index,
+        overlap_pairs_against,
+        winnowing_fingerprints,
+    )
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, para + " first doc trailer one"),
+         (2, "unrelated text about nothing in particular at all today")],
+        "id bigint, text string",
+    )
+    idx = str(tmp_path / "v1idx")
+    # build the OLD layout exactly as round-4 code did: fingerprints
+    # merged at index_path, keys=(id, fingerprint), bucketed on both
+    cfp = winnowing_fingerprints(corpus, "id", "text", n=3, window=4)
+    merge_upsert(spark, idx, cfp.select("id", "fingerprint"),
+                 keys=("id", "fingerprint"))
+    assert any(d.startswith("kb=") for d in os.listdir(idx))
+
+    batch = spark.createDataFrame(
+        [(10, "second wave opener then " + para)], "id bigint, text string"
+    )
+    pairs = maintain_overlap_index(
+        spark, idx, batch, "id", "text", min_shared=1, max_df=None
+    )
+    got = {(r["corpus_id"], r["batch_id"]) for r in pairs.collect()}
+    want = {
+        (r["corpus_id"], r["batch_id"])
+        for r in overlap_pairs_against(
+            cfp, batch, "id", "text", min_shared=1, max_df=None
+        ).collect()
+    }
+    assert got == want == {(1, 10)}
+    # old layout fully replaced: no kb= dirs or merge meta at the root,
+    # fingerprint-bucketed table lives under fp/
+    assert not any(d.startswith("kb=") for d in os.listdir(idx))
+    assert not os.path.exists(os.path.join(idx, "_merge_meta.json"))
+    assert os.path.isdir(os.path.join(idx, "fp"))
+
+
+def test_overlap_index_log_compaction_and_crash_window(spark, tmp_path):
+    """The LSM fold-in: appends accumulate under fp_log/ and every
+    compact_every batches merge into the base and the log empties;
+    pairs are identical either way. Crash window between the
+    compaction merge and the log deletes leaves rows readable in BOTH
+    base and log — the probe's (fingerprint, id) dedup must absorb
+    the duplicates (no double-counted `shared`, no phantom pairs)."""
+    import os
+    import shutil
+
+    from mel_tnnt_spark.operators.dedup import (
+        _FP_LOG_SUBDIR,
+        _FP_SUBDIR,
+        _log_batch_dirs,
+        maintain_overlap_index,
+        read_overlap_index,
+    )
+    from mel_tnnt_spark.operators.merge_sink import merge_upsert
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx = str(tmp_path / "lsm")
+    log_path = os.path.join(idx, _FP_LOG_SUBDIR)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, text string")
+
+    maintain_overlap_index(
+        spark, idx, mk([(1, para + " origin"), (2, "wholly unrelated words here")]),
+        "id", "text", min_shared=1, max_df=None, compact_every=2,
+    )
+    assert len(_log_batch_dirs(log_path)) == 1  # appended, not compacted
+    p2 = maintain_overlap_index(
+        spark, idx, mk([(10, "stolen " + para)]),
+        "id", "text", min_shared=1, max_df=None, compact_every=2,
+    )
+    assert {(r[0], r[1]) for r in p2.select("corpus_id", "batch_id").collect()} == {(1, 10)}
+    assert len(_log_batch_dirs(log_path)) == 0  # compacted into base
+    n_logical = read_overlap_index(spark, idx).count()
+
+    # crash window: re-merge the base rows AND copy them back into a
+    # log dir (rows now readable twice) — the next batch must still
+    # produce exact pairs and exact shared counts
+    # materialize first: the merge below replaces the very files this
+    # lazy plan would re-read
+    base_rows = read_overlap_index(spark, idx).localCheckpoint(eager=True)
+    merge_upsert(
+        spark, os.path.join(idx, _FP_SUBDIR), base_rows,
+        keys=("fingerprint", "id"), bucket_keys=("fingerprint",),
+    )
+    from mel_tnnt_spark.operators.merge_sink import _bucket_expr
+    from pyspark.sql import functions as FF
+
+    dup_dir = os.path.join(log_path, "batch=deadbeef-99")
+    (
+        base_rows.withColumn("kb", _bucket_expr(("fingerprint",), 16))
+        .write.mode("overwrite").partitionBy("kb").parquet(dup_dir)
+    )
+    assert read_overlap_index(spark, idx).count() == n_logical  # dedup view
+    p3 = maintain_overlap_index(
+        spark, idx, mk([(20, para + " third copy")]),
+        "id", "text", min_shared=1, max_df=None, compact_every=100,
+    )
+    got = {(r["corpus_id"], r["batch_id"], r["shared"]) for r in p3.collect()}
+    shared_1_10 = {(c, b) for c, b, _ in got}
+    assert shared_1_10 == {(1, 20), (10, 20)}, got
+    # duplicated index rows must not double the shared counts: compare
+    # against a fresh single-copy index over the same corpus
+    idx2 = str(tmp_path / "clean")
+    maintain_overlap_index(
+        spark, idx2, mk([(1, para + " origin"), (2, "wholly unrelated words here")]),
+        "id", "text", min_shared=1, max_df=None,
+    )
+    maintain_overlap_index(
+        spark, idx2, mk([(10, "stolen " + para)]),
+        "id", "text", min_shared=1, max_df=None,
+    )
+    want = {
+        (r["corpus_id"], r["batch_id"], r["shared"])
+        for r in maintain_overlap_index(
+            spark, idx2, mk([(20, para + " third copy")]),
+            "id", "text", min_shared=1, max_df=None,
+        ).collect()
+    }
+    assert got == want
+    shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+# --- exact duplicated-span excision (q83, VERDICT r4 #6) -------------------
+
+
+def _excise(spark, rows, k=5):
+    from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
+
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    return {
+        r["id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in excise_duplicate_spans(df, "id", "text", k=k).collect()
+    }
+
+
+def test_excise_shared_run_removed_from_all_but_first(spark):
+    """The ExactSubstr contract (Lee et al. 2021): a token run of
+    length >= k shared across docs survives ONLY at the globally-first
+    occurrence (min (id, position)); every other occurrence is excised
+    and the text rewritten. Unique text is untouched (modulo the
+    documented whitespace normalization)."""
+    run = "the quick brown fox jumps over lazy dogs"  # 8 tokens > k=5
+    got = _excise(
+        spark,
+        [
+            (1, "intro words here " + run + " tail one"),
+            (2, "other opener " + run + " different tail"),
+            (3, "wholly unrelated text about streams and buckets today"),
+        ],
+    )
+    assert run in got[1][0] and got[1][1] == 0  # survivor intact
+    assert run not in got[2][0] and got[2][1] == 8  # full 8-token run gone
+    assert got[2][0] == "other opener different tail"  # unique text kept
+    assert got[3] == ("wholly unrelated text about streams and buckets today", 0)
+
+
+def test_excise_within_doc_repeat_and_short_docs(spark):
+    """A run repeated WITHIN one doc keeps only its first occurrence;
+    docs shorter than k tokens pass through (whitespace-normalized);
+    NULL text becomes the empty rewrite. A second pass over the output
+    removes nothing (idempotent on this corpus)."""
+    run = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{run} middle filler words {run}"),
+        (2, "tiny doc"),
+        (3, None),
+        (4, "  spaced\tout\n tokens  here "),
+    ]
+    got = _excise(spark, rows)
+    assert got[1] == (f"{run} middle filler words", 5)
+    assert got[2] == ("tiny doc", 0)
+    assert got[3] == ("", 0)
+    assert got[4] == ("spaced out tokens here", 0)
+    again = _excise(spark, [(i, t) for i, (t, _) in sorted(got.items())])
+    assert all(n == 0 for _, n in again.values())
+    assert {i: t for i, (t, _) in again.items()} == {
+        i: t for i, (t, _) in got.items()
+    }
+
+
+def test_excise_overlapping_runs_tile_the_whole_span(spark):
+    """A duplicated run LONGER than k is covered by its overlapping
+    k-windows — the covered-index union must excise the entire run,
+    not just disjoint k-blocks (12 tokens = 8 overlapping 5-windows)."""
+    run = " ".join(f"t{i}" for i in range(12))
+    got = _excise(spark, [(1, run + " unique closer"), (2, "open " + run)])
+    assert got[1][1] == 0
+    assert got[2] == ("open", 12)
+
+
+def test_excise_duplicate_spans_matches_python_mirror_fuzz(spark):
+    """Deterministic fuzz (seeded RNG, the suite's stand-in for a
+    hypothesis sweep over Spark — one session-scoped corpus instead of
+    per-example JVM round-trips): random small-vocab docs with
+    injected shared runs, checked token-for-token against an
+    independent Python mirror of the ExactSubstr semantics."""
+    import hashlib
+    import random
+    import re
+    from collections import defaultdict
+
+    rng = random.Random(83)
+    vocab = [f"w{i}" for i in range(40)]
+    runs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 9)))
+        for _ in range(4)
+    ]
+    rows = []
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        if rng.random() < 0.6:
+            r = rng.choice(runs).split()
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + r + toks[at:]
+        rows.append((i, " ".join(toks)))
+
+    k = 5
+    toks = {i: [w for w in re.split(r"\s+", t or "") if w] for i, t in rows}
+    byh = defaultdict(list)
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            h = int(hashlib.md5(" ".join(ws[p : p + k]).encode()).hexdigest()[:15], 16)
+            byh[h].append((i, p))
+    rm: dict[int, set[int]] = defaultdict(set)
+    for lst in byh.values():
+        if len(lst) >= 2:
+            surv = min(lst)
+            for i, p in lst:
+                if (i, p) != surv:
+                    rm[i].update(range(p, p + k))
+    want = {
+        i: (" ".join(w for j, w in enumerate(ws) if j not in rm.get(i, set())),
+            len(rm.get(i, set())))
+        for i, ws in toks.items()
+    }
+    assert _excise(spark, rows) == want
+
+
+def test_excise_plan_stays_jvm_side(spark):
+    """The excision is two linear shuffles of (id, pos, hash) rows —
+    no pairwise joins, no Python: the executed plan must be UDF-free
+    (whole-stage codegen end to end), the 100 TB posture."""
+    from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "id bigint, text string"
+    )
+    plan = (
+        excise_duplicate_spans(df, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
