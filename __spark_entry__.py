@@ -2978,20 +2978,88 @@ def q82(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
     return quality_classifier_scores(
-        docs.select("doc_id", "text"), "doc_id", "text", dim=64
+        docs.select("doc_id", "text"), "doc_id", "text", dim=64,
+        # portable md5 hashing so the DuckDB oracle can mirror the
+        # feature ids bit-for-bit; the production default is xxhash64
+        # (same plan, no hex round-trip — BENCH.md A/B)
+        portable_hash=True,
+    ).withColumnRenamed("doc_id", "id")
+
+
+@_q(
+    "q83_dd_span_excision",
+    r"""
+    WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+    t AS (SELECT id, list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS ws FROM d),
+    o AS (
+      SELECT id, i - 1 AS p,
+             ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+               ::UBIGINT::BIGINT AS h
+      FROM t, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+    ),
+    dup AS (
+      SELECT h, min({'id': id, 'p': p}) AS surv
+      FROM o GROUP BY h HAVING count(*) >= 2
+    ),
+    rm AS (
+      SELECT o.id, unnest(generate_series(o.p, o.p + 4)) AS tt
+      FROM o JOIN dup USING (h)
+      WHERE NOT (o.id = struct_extract(dup.surv, 'id')
+                 AND o.p = struct_extract(dup.surv, 'p'))
+    ),
+    rmset AS (SELECT id, list_distinct(list(tt)) AS rml FROM rm GROUP BY id)
+    SELECT t.id AS id,
+      coalesce(array_to_string(
+        list_filter(list_transform(generate_series(1, len(ws)),
+                                   j -> CASE WHEN list_contains(
+                                               coalesce(rmset.rml, []), j - 1)
+                                             THEN NULL ELSE ws[j] END),
+                    x -> x IS NOT NULL), ' '), '') AS clean_text,
+      coalesce(len(rmset.rml), 0)::INT AS n_tokens_removed
+    FROM t LEFT JOIN rmset USING (id)
+    """,
+)
+def q83(spark, sf_dir):
+    """Exact duplicated-span EXCISION (excise_duplicate_spans) over
+    real corpus text — the ExactSubstr dedup operator (Lee et al.
+    2021): every token run of length >= 5 occurring more than once
+    across the corpus is removed from all occurrences except the
+    globally-first survivor, and the text is rewritten (winnowing
+    q73/q80 only FLAGS overlapping pairs). The oracle mirrors the full
+    relational formulation — sliding 5-gram md5-60bit hash, min(id,
+    pos) survivor, covered-index union, index-aware token filter —
+    bit-for-bit in DuckDB."""
+    from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return excise_duplicate_spans(
+        docs.select("doc_id", "text"), "doc_id", "text", k=5
     ).withColumnRenamed("doc_id", "id")
 
 
 # ---------------------------------------------------------------------------
-# Registration order (round-4 rotation): the driver's correctness
-# harness evaluates only the FIRST 50 registered queries —
-# CORRECTNESS_r03.json contains exactly the first 50 names in
-# round-3 file order and stops at q52. To get driver-certified rows
-# for the 22 queries it never reached (q53–q74) plus this round's new
-# gates, queries() yields names NOT yet driver-certified first (in
-# definition order), then the already-certified ones. Queries pushed
-# past slot 50 this round keep their green CORRECTNESS_r03.json rows;
-# the rotation is documented in COVERAGE.md.
+# Registration order (round-5 certify-on-change rotation): the
+# driver's correctness harness evaluates only the FIRST 50 registered
+# queries. queries() therefore yields, in definition order within
+# each tier:
+#   (a) queries NEVER driver-certified (no green row in any
+#       CORRECTNESS_r*.json) — always first;
+#   (b) certified queries whose CODE PATH changed since the round that
+#       certified them — a green row from round R says nothing about
+#       code committed after R (VERDICT r4 #2: the r4 shingle refactor
+#       changed the code under q18/q19/q35, whose only driver rows
+#       were r03). "Code path changed" is derived from git: the
+#       mel_tnnt_spark files changed since the certifying round's
+#       marker commit, expanded through the package's import closure,
+#       matched against the modules each query function imports — plus
+#       a direct source-text compare of the query function itself
+#       against the marker commit's __spark_entry__.py;
+#   (c) stable certified queries.
+# Queries pushed past slot 50 keep their existing green rows; the
+# policy is documented in COVERAGE.md. The derivation is best-effort:
+# any git/parse failure degrades to "nothing touched" (tier (a) still
+# leads), never to an import error in the driver.
 
 _R03_DRIVER_CERTIFIED = frozenset({
     "q01_a1_pricing_summary", "q02_j1_broadcast_join_agg",
@@ -3019,9 +3087,192 @@ _R03_DRIVER_CERTIFIED = frozenset({
 })
 
 
+# Queries whose LATEST green driver row is in CORRECTNESS_r04.json
+# (the r04 window: q53+ plus the first 20 rotated-out r03 names).
+_R04_DRIVER_CERTIFIED = frozenset({
+    "q01_a1_pricing_summary", "q02_j1_broadcast_join_agg",
+    "q03_j1_multijoin_revenue_by_nation", "q04_w3_latest_event_per_user",
+    "q05_a13_time_span_per_type", "q06_a9_value_buckets",
+    "q07_j5_customers_without_orders", "q08_so2_shared_vocabulary",
+    "q09_j4_duplicate_orderkeys", "q10_a2_keyword_counts",
+    "q11_a3_pattern_match_counts", "q12_j6_containment_mentions",
+    "q13_a8_stats_per_lang", "q14_a5_rollup_lang_source",
+    "q15_w2_pagination", "q16_w4_topk_docs",
+    "q30_a8_mode_quantity_per_flag", "q36_j6_large_vocab_containment",
+    "q37_j2_lookup_with_fallback", "q39_p2_only_startfrom",
+    "q53_m13_coref_chains", "q54_stream_first_seen_batch",
+    "q55_multimodal_image_decode", "q56_s2_general_metadata",
+    "q57_f1_nfkd_ascii_fold", "q58_s9_lang_extract",
+    "q59_a14_csv_cells", "q60_w5_w6_mention_stage",
+    "q61_j8_entity_linking", "q62_dd_simhash_pairs",
+    "q63_f17_summary_filters", "q64_multimodal_audio_decode",
+    "q65_multimodal_frame_sample", "q66_a6_aggregated_summary",
+    "q67_m14_archive_members", "q68_cc_incremental_maintenance",
+    "q69_multimodal_resize", "q70_curation_pipeline",
+    "q71_hll_registers", "q72_bm25_ranking", "q73_winnowing_overlap",
+    "q74_cc_size_histogram", "q75_m_nltk_category_rescan",
+    "q76_a14_csv_ner_merge_order", "q77_dd_cluster_survivors",
+    "q78_ts_pii_scrub", "q79_ts_repetition_metrics",
+    "q80_dd_cross_corpus_overlap", "q81_curation_decision",
+    "q82_ts_quality_classifier",
+})
+
+# Marker commits: the artifact-only commit the driver wrote at the END
+# of each round — the certified rows were produced on this code state
+# (the marker adds only CORRECTNESS/BENCH/VERDICT files on top of it).
+_ROUND_MARKERS = {"r03": "cbfaa54", "r04": "f34ea97"}
+
+
+def _cert_round(name: str) -> str | None:
+    if name in _R04_DRIVER_CERTIFIED:
+        return "r04"
+    if name in _R03_DRIVER_CERTIFIED:
+        return "r03"
+    return None
+
+
+def _package_import_closure(changed: set[str]) -> set[str]:
+    """Expand a set of changed mel_tnnt_spark module files to every
+    package module that (transitively) imports one of them, by parsing
+    the package's import statements. File paths are repo-relative."""
+    import ast
+
+    pkg_root = Path(__file__).resolve().parent
+    deps: dict[str, set[str]] = {}  # module file -> files it imports
+    for p in (pkg_root / "mel_tnnt_spark").rglob("*.py"):
+        rel = str(p.relative_to(pkg_root))
+        imported: set[str] = set()
+        try:
+            tree = ast.parse(p.read_text())
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            mods: list[str] = []
+            if isinstance(node, ast.ImportFrom) and node.module:
+                mods.append(node.module)
+                # `from mel_tnnt_spark.operators import dedup`
+                mods += [f"{node.module}.{a.name}" for a in node.names]
+            elif isinstance(node, ast.Import):
+                mods += [a.name for a in node.names]
+            for m in mods:
+                if m.startswith("mel_tnnt_spark"):
+                    f = m.replace(".", "/") + ".py"
+                    if (pkg_root / f).exists():
+                        imported.add(f)
+        deps[rel] = imported
+    # fixed-point: a module is dirty if it imports a dirty module
+    dirty = set(changed)
+    while True:
+        grew = {
+            f for f, imps in deps.items() if f not in dirty and imps & dirty
+        }
+        if not grew:
+            return dirty
+        dirty |= grew
+
+
+def _query_imports(fn) -> set[str]:
+    """mel_tnnt_spark module files a query function's body imports."""
+    import ast
+    import inspect
+    import textwrap
+
+    pkg_root = Path(__file__).resolve().parent
+    out: set[str] = set()
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError):
+        return out
+    for node in ast.walk(tree):
+        mods: list[str] = []
+        if isinstance(node, ast.ImportFrom) and node.module:
+            mods.append(node.module)
+            mods += [f"{node.module}.{a.name}" for a in node.names]
+        elif isinstance(node, ast.Import):
+            mods += [a.name for a in node.names]
+        for m in mods:
+            if m.startswith("mel_tnnt_spark"):
+                f = m.replace(".", "/") + ".py"
+                if (pkg_root / f).exists():
+                    out.add(f)
+    return out
+
+
+def _fn_sources(entry_text: str) -> dict[str, str]:
+    """Source segment of each top-level function in an
+    __spark_entry__.py text, keyed by function name."""
+    import ast
+
+    out: dict[str, str] = {}
+    try:
+        tree = ast.parse(entry_text)
+    except SyntaxError:
+        return out
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            seg = ast.get_source_segment(entry_text, node)
+            if seg:
+                out[node.name] = seg
+    return out
+
+
+def _touched_since_certification() -> set[str]:
+    """Names of certified queries whose code path changed after the
+    round that certified them. Best-effort: empty set on any failure."""
+    import subprocess
+
+    pkg_root = Path(__file__).resolve().parent
+    touched: set[str] = set()
+    try:
+        cur_fns = _fn_sources((pkg_root / "__spark_entry__.py").read_text())
+        for rnd, marker in _ROUND_MARKERS.items():
+            names = [n for n in _Q if _cert_round(n) == rnd]
+            if not names:
+                continue
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", marker, "--",
+                 "mel_tnnt_spark"],
+                cwd=pkg_root, capture_output=True, text=True, timeout=30,
+            )
+            if diff.returncode != 0:
+                continue
+            changed = {
+                ln.strip() for ln in diff.stdout.splitlines()
+                if ln.strip().endswith(".py")
+            }
+            dirty = _package_import_closure(changed) if changed else set()
+            old_entry = subprocess.run(
+                ["git", "show", f"{marker}:__spark_entry__.py"],
+                cwd=pkg_root, capture_output=True, text=True, timeout=30,
+            )
+            old_fns = (
+                _fn_sources(old_entry.stdout)
+                if old_entry.returncode == 0 else {}
+            )
+            for n in names:
+                fn = _Q[n]
+                if dirty & _query_imports(fn):
+                    touched.add(n)
+                elif old_fns and old_fns.get(fn.__name__) != cur_fns.get(
+                    fn.__name__
+                ):
+                    touched.add(n)
+    except Exception:
+        return set()
+    return touched
+
+
+_TOUCHED_CACHE: list[set[str]] = []
+
+
 def _rotated(names):
-    fresh = [n for n in names if n not in _R03_DRIVER_CERTIFIED]
-    return fresh + [n for n in names if n in _R03_DRIVER_CERTIFIED]
+    if not _TOUCHED_CACHE:
+        _TOUCHED_CACHE.append(_touched_since_certification())
+    touched = _TOUCHED_CACHE[0]
+    fresh = [n for n in names if _cert_round(n) is None]
+    retest = [n for n in names if _cert_round(n) and n in touched]
+    stable = [n for n in names if _cert_round(n) and n not in touched]
+    return fresh + retest + stable
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -340,12 +340,13 @@ def quality_classifier_scores(
     dim: int = 64,
     bias: float = 0.0,
     weights: list[tuple[int, float]] | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """CCNet/fastText-shaped LINEAR quality classifier — the standard
     pretraining-pipeline scorer (hashed unigram + bigram bag, linear
     weights, sigmoid), expressed fully relationally:
 
-      tokens/bigrams -> portable-hash feature id (md5-60bit mod dim)
+      tokens/bigrams -> hashed feature id
       -> ONE map-side-combined groupBy (id, feature) count
       -> broadcast join the dim-row weight table
       -> sigmoid(bias + sum(count * w)) per doc.
@@ -355,7 +356,17 @@ def quality_classifier_scores(
     broadcast dim exactly like the BM25 term dim. A TRAINED model
     swaps in via the same (feature_id, weight) table with zero plan
     change. Docs with no tokens produce no row. Scores rounded to 6dp
-    for cross-engine agreement."""
+    for cross-engine agreement.
+
+    portable_hash: feature id function. False (production default):
+    `pmod(xxhash64(g), dim)` — one codegen 64-bit hash per gram, no
+    string round-trip; at 100 TB the gram-hash pass is the scan bill
+    (VERDICT r4 #3: the md5 path was the slowest headline query's
+    suspect). True (oracle-gate path): `conv(substr(md5(g),1,15),16,10)
+    % dim` — bit-identical in DuckDB, kept ONLY so the q82 driver gate
+    can mirror the full computation cross-engine. Same plan either
+    way; a trained model's weights are hash-space-specific (train and
+    score with the same setting)."""
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -381,9 +392,12 @@ def quality_classifier_scores(
             )
         ).alias("g"),
     )
-    fid = F.expr(
-        f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {dim}"
-    ).cast("int")
+    if portable_hash:
+        fid = F.expr(
+            f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {dim}"
+        ).cast("int")
+    else:
+        fid = F.pmod(F.xxhash64("g"), F.lit(dim)).cast("int")
     counts = grams.select("id", fid.alias("f")).groupBy("id", "f").agg(
         F.count("*").alias("c")
     )

@@ -123,22 +123,47 @@ def test_plans_audit_covers_every_registered_query():
 
 def test_rotation_keeps_uncertified_queries_in_driver_window():
     """The driver's correctness harness evaluates only the FIRST 50
-    registered queries; queries() rotates not-yet-driver-certified
-    names first. This guard fails if the uncertified set ever exceeds
-    the window (then the rotation needs a second round or a split),
-    and pins basic contract hygiene: every query has an oracle, names
-    are unique and well-formed."""
+    registered queries; queries() rotates (a) never-driver-certified
+    names first, then (b) certified names whose code path changed
+    since their certifying round (VERDICT r4 #2: a green row from
+    round R says nothing about code committed after R), then (c) the
+    stable rest. This guard fails if tiers (a)+(b) ever exceed the
+    window, and pins basic contract hygiene: every query has an
+    oracle, names are unique and well-formed."""
     import re
 
     import __spark_entry__ as e
 
     names = list(e.queries())
-    uncertified = [n for n in names if n not in e._R03_DRIVER_CERTIFIED]
-    assert names[: len(uncertified)] == uncertified, "uncertified must lead"
-    assert len(uncertified) <= 50, (
-        f"{len(uncertified)} uncertified queries exceed the driver's "
-        "50-slot window — split the rotation across rounds"
+    touched = e._TOUCHED_CACHE[0] if e._TOUCHED_CACHE else set()
+    fresh = [n for n in names if e._cert_round(n) is None]
+    retest = [n for n in names if e._cert_round(n) and n in touched]
+    assert names[: len(fresh)] == fresh, "never-certified must lead"
+    assert names[len(fresh) : len(fresh) + len(retest)] == retest, (
+        "code-path-touched certified queries must precede stable ones"
+    )
+    assert len(fresh) + len(retest) <= 50, (
+        f"{len(fresh)} fresh + {len(retest)} touched queries exceed the "
+        "driver's 50-slot window — split the rotation across rounds"
     )
     assert set(e.oracle_sql()) == set(names), "every query needs an oracle"
     assert all(re.fullmatch(r"q\d{2}_\w+", n) for n in names)
     assert len(set(names)) == len(names)
+
+
+def test_rotation_touch_derivation_flags_changed_dedup_path():
+    """The certify-on-change derivation must flag the queries whose
+    implementation modules changed since their certifying round: the
+    round-4/5 dedup.py changes sit under q18/q19/q35 (r03-certified)
+    — the exact miss VERDICT r4 #2 called out. Also pins that the
+    derivation is conservative through the package import closure
+    (q50's rollup imports merge_sink, changed in r5)."""
+    import __spark_entry__ as e
+
+    touched = e._touched_since_certification()
+    for n in ("q18_dd_ngram_jaccard_pairs", "q19_dd_minhash_signatures",
+              "q35_dd_lsh_pairs", "q50_hypertable_rollup"):
+        assert n in touched, f"{n} changed since certification, not flagged"
+    # sanity: derivation is grounded — it never flags a query whose
+    # cert round has no marker commit, and returns a subset of names
+    assert touched <= set(e._Q)
