@@ -1278,3 +1278,53 @@ def test_excise_plan_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_chain_survivors_stable_under_pair_shuffle(spark):
+    """Survivor election is a pure function of the pair SET (VERDICT
+    r4 #8): real generators over real sf0.01 corpus text, then the
+    same pairs shuffled to random partitions in random order AND
+    orientation-flipped must reproduce every (id, survivor_id)
+    exactly. The sf0.1 full-corpus twin runs in
+    scripts/dedup_chain_bench.py (both graph densities, BENCH.md)."""
+    from pyspark.sql import functions as FF
+
+    from mel_tnnt_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        FF.col("doc_id").alias("id"), "text"
+    )
+    pairs = (
+        ngram_jaccard_pairs(docs, "id", "text", n=2, threshold=0.08, max_df=20)
+        .select("id_a", "id_b")
+        .unionByName(
+            minhash_lsh_pairs(docs, "id", "text", n=3, k=8, bands=4)
+            .select("id_a", "id_b")
+        )
+        .distinct()
+    )
+    assert pairs.count() > 0  # the corpus actually exercises the chain
+    base = {
+        r["id"]: r["survivor_id"]
+        for r in dedup_clusters(docs.select("id"), pairs).collect()
+    }
+    shuffled = (
+        pairs.withColumn("_r", FF.rand(7))
+        .repartition(13, "_r")
+        .sortWithinPartitions("_r")
+        .select(
+            FF.when(FF.col("_r") < 0.5, FF.col("id_b"))
+            .otherwise(FF.col("id_a")).alias("id_a"),
+            FF.when(FF.col("_r") < 0.5, FF.col("id_a"))
+            .otherwise(FF.col("id_b")).alias("id_b"),
+        )
+    )
+    redo = {
+        r["id"]: r["survivor_id"]
+        for r in dedup_clusters(docs.select("id"), shuffled).collect()
+    }
+    assert base == redo
