@@ -66,13 +66,16 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
         (d["alias"], d["entity_id"], d["canonical"], d["tnnt_label"], float(d["prior"]))
         for d in ALIAS_DICT
     ]
+    from mel_tnnt_spark.session import local_dim
+
     return _memo(
         spark,
         "alias_dict",
-        lambda: spark.createDataFrame(
+        lambda: local_dim(
+            spark,
             rows,
             "alias string, entity_id string, canonical string, tnnt_label string, prior double",
-        ).coalesce(1),
+        ),
     )
 
 
@@ -85,14 +88,20 @@ def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
 
     `labels` enumerates the possible mention tnnt labels (plus NULL for
     unmapped categories)."""
-    # Tiny dims MUST be single-partition: createDataFrame spreads even
-    # 20 rows over defaultParallelism partitions, and a crossJoin of two
-    # 32-partition locals plans a 1024-task cartesian product — ~500
-    # CPU-seconds of pure task overhead for config-sized data.
-    lab = aliases.sparkSession.createDataFrame(
-        [(x,) for x in labels] + [(None,)], "label string"
-    ).coalesce(1)
-    scored = aliases.coalesce(1).crossJoin(lab).withColumn(
+    # Tiny dims as JVM LocalRelations (session.local_dim): plain
+    # createDataFrame spreads even 20 rows over defaultParallelism
+    # Python partitions (a crossJoin of two 32-partition locals plans a
+    # 1024-task cartesian — ~500 CPU-seconds of task overhead), and the
+    # old .coalesce(1) workaround evaluated all parent partitions
+    # through Python workers in ONE sequential task per action
+    # (measured ~5 s/action — the round-4 q82 cost anomaly). A
+    # LocalRelation crossJoin constant-folds instead.
+    from mel_tnnt_spark.session import local_dim
+
+    lab = local_dim(
+        aliases.sparkSession, [(x,) for x in labels] + [(None,)], "label string"
+    )
+    scored = aliases.crossJoin(lab).withColumn(
         "score",
         F.round(
             F.col("prior")
@@ -100,7 +109,13 @@ def resolved_alias_dim(aliases: DataFrame, labels: list[str]) -> DataFrame:
             6,
         ),
     )
-    pick = scored.groupBy("alias", "label").agg(
+    # single-partition BEFORE the aggregate: a SinglePartition child
+    # satisfies the aggregate's distribution requirement, so the
+    # config-sized build plans ZERO exchanges (and the linking test can
+    # keep pinning "linking adds no shuffles"). This coalesce is
+    # JVM-side (LocalRelation crossJoin output) — cheap, unlike the
+    # removed python-RDD coalesce(1) on the dim source.
+    pick = scored.coalesce(1).groupBy("alias", "label").agg(
         F.max(F.struct("score", "entity_id", "canonical", F.col("tnnt_label").alias("cand_label"))).alias("_b")
     )
     return pick.select(

@@ -27,13 +27,16 @@ def label_classification_df(spark: SparkSession) -> DataFrame:
     (code/NLP_NER_API/config.json:228-513). Tiny: always broadcast;
     materialized once per session (static config — see linking._memo)."""
     from mel_tnnt_spark.operators.linking import _memo
+    from mel_tnnt_spark.session import local_dim
 
     return _memo(
         spark,
         "label_classification",
-        lambda: spark.createDataFrame(
-            label_classification_rows(), "model string, category string, tnnt_label string"
-        ).coalesce(1),
+        lambda: local_dim(
+            spark,
+            label_classification_rows(),
+            "model string, category string, tnnt_label string",
+        ),
     )
 
 

@@ -401,10 +401,13 @@ def quality_classifier_scores(
     counts = grams.select("id", fid.alias("f")).groupBy("id", "f").agg(
         F.count("*").alias("c")
     )
-    w = spark.createDataFrame(
+    from mel_tnnt_spark.session import local_dim
+
+    w = local_dim(
+        spark,
         weights if weights is not None else quality_classifier_weights(dim),
         "f int, w double",
-    ).coalesce(1)
+    )
     z = counts.join(F.broadcast(w), "f").groupBy("id").agg(
         (F.lit(bias) + F.sum(F.col("c") * F.col("w"))).alias("z")
     )

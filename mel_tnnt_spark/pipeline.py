@@ -91,13 +91,16 @@ def run_pipeline(
     )
     dim_schema = "entity_id string, canonical string, linked_label string"
     if len(dim_rows) <= ENT_DIM_DRIVER_LIMIT:
-        ent_dim = spark.createDataFrame(dim_rows, dim_schema).coalesce(1)
-        ents = spark.createDataFrame(
+        from mel_tnnt_spark.session import local_dim
+
+        ent_dim = local_dim(spark, dim_rows, dim_schema)
+        ents = local_dim(
+            spark,
             components.canonical_entities_local(
                 [(r["entity_id"], r["canonical"]) for r in dim_rows]
             ),
             "entity_id string, canonical_id string",
-        ).coalesce(1)
+        )
     else:
         ent_dim = (
             linked.select("entity_id", "canonical", "linked_label")

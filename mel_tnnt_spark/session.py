@@ -61,3 +61,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def local_dim(spark: SparkSession, rows, schema: str):
+    """Config-sized dimension table as a JVM LocalRelation.
+
+    Plain `createDataFrame(list)` parallelizes even 20 rows over
+    defaultParallelism Python partitions, so every action that builds
+    a broadcast from it runs a 32-task Python job — and the historical
+    `.coalesce(1)` "fix" was worse: a CoalescedRDD evaluates all 32
+    parent partitions through Python workers in ONE sequential task,
+    measured ~5 s PER ACTION on the q82 tail (the real cause of the
+    round-4 "q82 cost anomaly"; the suspected md5 gram hash A/B'd as
+    a null result). The Arrow path converts the rows driver-side into
+    a LocalRelation: zero runtime job, constant-foldable, and a
+    crossJoin of two such dims plans 1x1, not 32x32 tasks. Falls back
+    to single-slice parallelize when pandas/Arrow is unavailable."""
+    try:
+        import pandas as pd
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = _parse_datatype_string(schema)
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=[f.name for f in st.fields]
+        )
+        df = spark.createDataFrame(pdf, schema=st)
+        if "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString():
+            return df
+    except Exception:
+        pass
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )

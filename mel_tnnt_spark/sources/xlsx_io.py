@@ -102,9 +102,11 @@ def read_xlsx_dim(
     if not rows:
         raise ValueError("empty worksheet")
     header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
-    df = spark.createDataFrame(
-        [tuple(r) for r in rows[1:]], ", ".join(f"`{h}` string" for h in header)
-    ).coalesce(1)
+    from mel_tnnt_spark.session import local_dim
+
+    df = local_dim(
+        spark, [tuple(r) for r in rows[1:]], ", ".join(f"`{h}` string" for h in header)
+    )
     for col, kind in (types or {}).items():
         if col in header:
             df = df.withColumn(col, _cast_col(F.col(col), kind))

@@ -232,6 +232,7 @@ FUZZ_QUERIES = [
     "q80_dd_cross_corpus_overlap",
     "q81_curation_decision",
     "q82_ts_quality_classifier",
+    "q83_dd_span_excision",
 ]
 
 

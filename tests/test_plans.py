@@ -167,3 +167,29 @@ def test_rotation_touch_derivation_flags_changed_dedup_path():
     # sanity: derivation is grounded — it never flags a query whose
     # cert round has no marker commit, and returns a subset of names
     assert touched <= set(e._Q)
+
+
+def test_config_dims_are_local_relations(spark):
+    """Config-sized dims must be JVM LocalRelations (session.local_dim).
+    Round-5 find: `.coalesce(1)` on a python-parallelized dim evaluates
+    every parent partition through Python workers in ONE sequential
+    task on each action that rebuilds the broadcast — ~5 s/action on
+    the q82 tail, the real cause of the round-4 'q82 cost anomaly'
+    (the suspected md5 gram hash A/B'd as a null result until the dim
+    was fixed; see BENCH.md). A LocalRelation plans zero runtime job
+    and crossJoins of two constant-fold to 1x1 tasks."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_scores
+    from mel_tnnt_spark.session import local_dim
+
+    d = local_dim(spark, [("a", 0.5), (None, None)], "k string, v double")
+    assert "LocalRelation" in d._jdf.queryExecution().optimizedPlan().toString()
+    assert [(r["k"], r["v"]) for r in d.collect()] == [("a", 0.5), (None, None)]
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = (
+        quality_classifier_scores(docs, "doc_id", "text", dim=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the weight dim must not appear as a python-RDD scan anywhere
+    assert "Scan ExistingRDD" not in plan
+    assert "LocalTableScan" in plan
