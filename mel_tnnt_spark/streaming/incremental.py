@@ -258,3 +258,73 @@ def stream_maintain_components(
     return _replay_protected_stream(
         edge_stream, labels_path, checkpoint_dir, apply, once
     )
+
+
+def stream_maintain_overlap_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    n_buckets: int = 16,
+    once: bool = True,
+):
+    """Continuous cross-corpus contamination checking: every
+    micro-batch of documents is checked against the persisted
+    fingerprint index and folded in via `maintain_overlap_index` (the
+    LSM-shaped O(batch)-per-batch index), with each batch's
+    contamination pairs appended under
+    `pairs_path/batch=<content-hash>/` — the streaming twin of
+    stream_maintain_components applied to the "check each new crawl
+    against the corpus" problem (q80's operator driven by
+    readStream).
+
+    Idempotency is two-layer: the scaffold's applied-batch markers
+    skip re-applies after restarts, and BOTH effects are replay-safe
+    on their own — maintain_overlap_index returns the original pairs
+    on a replayed batch (content-addressed append log + batch-id
+    anti-join, test-pinned), and the pairs write overwrites a
+    directory named by an order-independent content hash of the
+    batch, so a crash between the index fold-in and the marker write
+    re-creates the identical pairs directory rather than duplicating
+    it. Stream==batch equality is pinned in tests/test_streaming.py."""
+    from mel_tnnt_spark.operators.dedup import maintain_overlap_index
+
+    def apply(batch_df: DataFrame) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropna(subset=[id_col])
+        row = batch_df.select(
+            F.sum(
+                F.xxhash64(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+            F.count("*").alias("c"),
+        ).collect()[0]
+        tag = f"{int(row['h'] or 0) & ((1 << 64) - 1):016x}-{row['c']}"
+        pairs = maintain_overlap_index(
+            spark, index_path, batch_df, id_col, text_col,
+            n=n, window=window, min_shared=min_shared, max_df=max_df,
+            n_buckets=n_buckets,
+        )
+        (
+            pairs.write.mode("overwrite")
+            .parquet(f"{pairs_path}/batch={tag}")
+        )
+
+    return _replay_protected_stream(
+        doc_stream, index_path, checkpoint_dir, apply, once
+    )
+
+
+def read_overlap_pair_log(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All contamination pairs the stream has emitted (union of the
+    per-batch directories), with the batch tag attached."""
+    return (
+        spark.read.option("basePath", pairs_path)
+        .parquet(f"{pairs_path}/batch=*")
+    )

@@ -325,3 +325,91 @@ def test_stream_maintain_components_drops_null_endpoints(spark, tmpdirs):
     q.awaitTermination(120)
     got = sorted(map(tuple, read_merged(spark, labels_path).collect()))
     assert got == [(1, 1), (2, 1)]
+
+
+def test_stream_maintain_overlap_index_equals_scratch(spark, tmpdirs):
+    """Continuous contamination checking: micro-batched document
+    arrivals through stream_maintain_overlap_index emit exactly the
+    cross-step pairs a from-scratch chained run produces, the
+    persisted index converges to the same logical contents, and a
+    restart over the same source re-applies nothing (markers +
+    content-addressed pairs dirs)."""
+    import os
+
+    from mel_tnnt_spark.operators.dedup import (
+        overlap_pairs_against,
+        read_overlap_index,
+        winnowing_fingerprints,
+    )
+    from mel_tnnt_spark.streaming.incremental import (
+        read_overlap_pair_log,
+        stream_maintain_overlap_index,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, para + " origin tail one"), (2, "unrelated words about nothing much")],
+        [(10, "copied opener " + para)],
+        [(20, para + " third appearance"), (21, "more unrelated filler text")],
+    ]
+    src = f"{tmpdirs}/docsrc"
+    for rows in batches:
+        spark.createDataFrame(rows, "id bigint, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    idx = f"{tmpdirs}/ovidx"
+    pairs_path = f"{tmpdirs}/ovpairs"
+
+    def run():
+        stream = (
+            spark.readStream.schema("id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_maintain_overlap_index(
+            stream, idx, pairs_path, f"{tmpdirs}/ov_ckpt",
+            min_shared=1, max_df=None,
+        )
+        q.awaitTermination(180)
+
+    run()
+
+    # expected: union over arrival order of prior-corpus-vs-batch pairs
+    # (streaming batches may differ from file order, but pair sets are
+    # symmetric in this corpus: every later doc shares only `para` with
+    # every earlier para-doc)
+    want = set()
+    seen: list[tuple[int, str]] = []
+    for rows in batches:
+        if seen:
+            corpus_fp = winnowing_fingerprints(
+                spark.createDataFrame(seen, "id bigint, text string"), "id", "text"
+            )
+            batch_df = spark.createDataFrame(rows, "id bigint, text string")
+            want |= {
+                (r["corpus_id"], r["batch_id"])
+                for r in overlap_pairs_against(
+                    corpus_fp, batch_df, "id", "text", min_shared=1, max_df=None
+                ).collect()
+            }
+        seen += rows
+    got = {
+        (r["corpus_id"], r["batch_id"])
+        for r in read_overlap_pair_log(spark, pairs_path).collect()
+    }
+    assert got == want
+    assert (1, 10) in got and (1, 20) in got and (10, 20) in got
+
+    n_index = read_overlap_index(spark, idx).count()
+    n_pair_dirs = len(os.listdir(pairs_path))
+    assert n_index > 0 and n_pair_dirs >= 2  # >=2 non-empty batches paired
+
+    run()  # restart: checkpoint + markers -> nothing re-applied
+    assert read_overlap_index(spark, idx).count() == n_index
+    assert len(os.listdir(pairs_path)) == n_pair_dirs
+    got2 = {
+        (r["corpus_id"], r["batch_id"])
+        for r in read_overlap_pair_log(spark, pairs_path).collect()
+    }
+    assert got2 == want
