@@ -2859,6 +2859,99 @@ def q80(spark, sf_dir):
 
 
 @_q(
+    "q84_dd_overlap_index_chained",
+    """
+    WITH alltx AS (
+      SELECT doc_id, text, 0 AS step FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT b.doc_id, c.text || ' uno marker ' || b.doc_id, 1
+      FROM documents b JOIN documents c ON c.doc_id = b.doc_id - 50
+      WHERE b.doc_id >= 50 AND b.doc_id < 100
+      UNION ALL
+      SELECT b.doc_id, c.text || ' dos marker ' || b.doc_id, 2
+      FROM documents b JOIN documents c ON c.doc_id = b.doc_id - 100
+      WHERE b.doc_id >= 100 AND b.doc_id < 150),
+    w AS (
+      SELECT doc_id, step,
+             string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM alltx),
+    sh AS (
+      SELECT doc_id, step, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS h
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+    fp AS (
+      SELECT DISTINCT doc_id, step, fingerprint FROM (
+        SELECT doc_id, step,
+               min(h) OVER win AS fingerprint,
+               count(*) OVER win AS _n
+        FROM sh
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+      WHERE _n = 4)
+    SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+           count(*)::BIGINT AS shared, b.step AS step
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.step < b.step
+    GROUP BY 1, 2, 4 HAVING count(*) >= 2
+    """,
+)
+def q84(spark, sf_dir):
+    """The MAINTAINED contamination index itself, driver-gated
+    (maintain_overlap_index — the round-5 LSM rewrite: fingerprint-
+    bucketed base + content-addressed append-log, O(batch) per batch):
+    three document batches chained through a fresh persisted index
+    INSIDE the query — step 0 folds in, steps 1-2 are checked against
+    the accumulated index then folded in — and the union of cross-step
+    pairs is returned. Step-1/2 docs embed a step-0 doc's full text,
+    so (d-50, d) and, at step 2, also the step-1 twin (d-50, d) via
+    the shared base text must surface. The oracle mirrors the chained
+    semantics relationally: winnow every step's docs once, then pair
+    step s against the union of all steps < s — equal to the stateful
+    run because the index is exactly the dedup'd fingerprints of prior
+    steps (chained == scratch, also pinned in
+    test_maintain_overlap_index_chained_equals_scratch). Pairs are
+    localCheckpoint-ed inside maintain_overlap_index, so the temp
+    index directory is deleted before returning."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.dedup import maintain_overlap_index
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def step_docs(s):
+        if s == 0:
+            return docs.where(F.col("doc_id") < 50).select("doc_id", "text")
+        lo, word = 50 * s, ("uno" if s == 1 else "dos")
+        b = docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)
+        ).alias("b")
+        c = docs.alias("c")
+        return b.join(c, F.col("c.doc_id") == F.col("b.doc_id") - lo).select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.concat(
+                F.col("c.text"),
+                F.lit(f" {word} marker "),
+                F.col("b.doc_id").cast("string"),
+            ).alias("text"),
+        )
+
+    idx = tempfile.mkdtemp(prefix="q84_overlap_idx_")
+    try:
+        out = None
+        for s in range(3):
+            pairs = maintain_overlap_index(
+                spark, idx, step_docs(s), "doc_id", "text",
+                n=3, window=4, min_shared=2, max_df=None,
+            ).withColumn("step", F.lit(s))
+            if s > 0:
+                out = pairs if out is None else out.unionByName(pairs)
+        return out
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@_q(
     "q81_curation_decision",
     """
     WITH r AS (

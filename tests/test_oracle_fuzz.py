@@ -233,6 +233,7 @@ FUZZ_QUERIES = [
     "q81_curation_decision",
     "q82_ts_quality_classifier",
     "q83_dd_span_excision",
+    "q84_dd_overlap_index_chained",
 ]
 
 
