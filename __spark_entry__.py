@@ -3224,6 +3224,19 @@ def _cert_round(name: str) -> str | None:
     return None
 
 
+def _module_file(pkg_root, m: str) -> str | None:
+    """Repo-relative file for a dotted mel_tnnt_spark module name:
+    `<mod>.py` when it exists, else `<mod>/__init__.py` (so changes to
+    package __init__ re-exports propagate through the closure)."""
+    f = m.replace(".", "/") + ".py"
+    if (pkg_root / f).exists():
+        return f
+    init = m.replace(".", "/") + "/__init__.py"
+    if (pkg_root / init).exists():
+        return init
+    return None
+
+
 def _package_import_closure(changed: set[str]) -> set[str]:
     """Expand a set of changed mel_tnnt_spark module files to every
     package module that (transitively) imports one of them, by parsing
@@ -3249,8 +3262,8 @@ def _package_import_closure(changed: set[str]) -> set[str]:
                 mods += [a.name for a in node.names]
             for m in mods:
                 if m.startswith("mel_tnnt_spark"):
-                    f = m.replace(".", "/") + ".py"
-                    if (pkg_root / f).exists():
+                    f = _module_file(pkg_root, m)
+                    if f:
                         imported.add(f)
         deps[rel] = imported
     # fixed-point: a module is dirty if it imports a dirty module
@@ -3285,8 +3298,8 @@ def _query_imports(fn) -> set[str]:
             mods += [a.name for a in node.names]
         for m in mods:
             if m.startswith("mel_tnnt_spark"):
-                f = m.replace(".", "/") + ".py"
-                if (pkg_root / f).exists():
+                f = _module_file(pkg_root, m)
+                if f:
                     out.add(f)
     return out
 

@@ -743,19 +743,38 @@ def _migrate_overlap_index_v1(spark, index_path: str, n_buckets: int) -> None:
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
 
-def _batch_tag(bfp) -> str:
-    """Order-independent content hash of a fingerprint batch — the
+def content_tag(df, *cols) -> str:
+    """Order-independent content hash of a batch over `cols` — the
     append-log's idempotency key. A replayed batch (same rows, any
     order/partitioning) produces the same tag, so its log directory
     already exists and the append is skipped. Fully distributed: one
-    sum of per-row xxhash64 plus a count, collected as a single row."""
-    row = bfp.select(
+    pass of commutative per-row-hash folds, collected as a single row.
+
+    Collision resistance: a bare sum is not multiset-safe (two rows
+    can trade +d/-d), so the tag combines three independent
+    order-invariant folds — sum, bit_xor, and a sum of squares in a
+    second hash domain — plus the count. An additive collision would
+    have to hold simultaneously in all three folds."""
+    h1 = F.xxhash64(*cols)
+    h2 = F.xxhash64(F.lit("tag2"), *cols)
+    row = df.select(
         # decimal accumulator: a long sum of 64-bit hashes overflows
         # (ANSI mode raises); decimal(38,0) holds ~10^18 rows of slack
-        F.sum(F.xxhash64("id", "fingerprint").cast("decimal(38,0)")).alias("h"),
+        F.sum(h1.cast("decimal(38,0)")).alias("h"),
+        F.bit_xor(h1).alias("x"),
+        F.sum(((h2 % F.lit(2147483647)) * (h2 % F.lit(2147483647))).cast("decimal(38,0)")).alias("s"),
         F.count("*").alias("c"),
     ).collect()[0]
-    return f"{int(row['h'] or 0) & ((1 << 64) - 1):016x}-{row['c']}"
+    m = (1 << 64) - 1
+    return (
+        f"{int(row['h'] or 0) & m:016x}-{int(row['x'] or 0) & m:016x}"
+        f"-{int(row['s'] or 0) & m:016x}-{row['c']}"
+    )
+
+
+def _batch_tag(bfp) -> str:
+    """content_tag over the fingerprint-batch key columns."""
+    return content_tag(bfp, F.col("id"), F.col("fingerprint"))
 
 
 def _log_batch_dirs(log_path: str) -> list[str]:

@@ -77,6 +77,10 @@ def local_dim(spark: SparkSession, rows, schema: str):
     a LocalRelation: zero runtime job, constant-foldable, and a
     crossJoin of two such dims plans 1x1, not 32x32 tasks. Falls back
     to single-slice parallelize when pandas/Arrow is unavailable."""
+    # Materialize up front: the pandas attempt below consumes `rows`,
+    # and a generator input would otherwise leave the fallback an
+    # exhausted iterator (silently-empty dim).
+    rows = list(rows)
     try:
         import pandas as pd
 
@@ -92,5 +96,5 @@ def local_dim(spark: SparkSession, rows, schema: str):
     except Exception:
         pass
     return spark.createDataFrame(
-        spark.sparkContext.parallelize(list(rows), 1), schema
+        spark.sparkContext.parallelize(rows, 1), schema
     )

@@ -296,25 +296,33 @@ def stream_maintain_overlap_index(
     from mel_tnnt_spark.operators.dedup import maintain_overlap_index
 
     def apply(batch_df: DataFrame) -> None:
+        import os
+        import shutil
+
+        from mel_tnnt_spark.operators.dedup import content_tag
+
         spark = batch_df.sparkSession
         batch_df = batch_df.dropna(subset=[id_col])
-        row = batch_df.select(
-            F.sum(
-                F.xxhash64(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")))
-                .cast("decimal(38,0)")
-            ).alias("h"),
-            F.count("*").alias("c"),
-        ).collect()[0]
-        tag = f"{int(row['h'] or 0) & ((1 << 64) - 1):016x}-{row['c']}"
+        tag = content_tag(
+            batch_df, F.col(id_col), F.coalesce(F.col(text_col), F.lit(""))
+        )
         pairs = maintain_overlap_index(
             spark, index_path, batch_df, id_col, text_col,
             n=n, window=window, min_shared=min_shared, max_df=max_df,
             n_buckets=n_buckets,
         )
-        (
-            pairs.write.mode("overwrite")
-            .parquet(f"{pairs_path}/batch={tag}")
-        )
+        # Stage-then-rename, mirroring the fold-in log's crash
+        # discipline: a crash mid-write leaves only a __staging- dir
+        # (invisible to read_overlap_pair_log's batch=* glob), never a
+        # partial batch= directory.
+        final = f"{pairs_path}/batch={tag}"
+        staging = f"{pairs_path}/__staging-{tag}"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        pairs.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
 
     return _replay_protected_stream(
         doc_stream, index_path, checkpoint_dir, apply, once
