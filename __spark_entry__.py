@@ -2952,6 +2952,171 @@ def q84(spark, sf_dir):
 
 
 @_q(
+    "q86_dd_span_index_chained",
+    r"""
+    WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+    t AS (SELECT id, list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS ws FROM d),
+    o AS (
+      SELECT id, i - 1 AS p,
+             ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+               ::UBIGINT::BIGINT AS h
+      FROM t, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+    ),
+    dup AS (
+      SELECT h, min({'id': id, 'p': p}) AS surv
+      FROM o GROUP BY h HAVING count(*) >= 2
+    ),
+    rm AS (
+      SELECT o.id, unnest(generate_series(o.p, o.p + 4)) AS tt
+      FROM o JOIN dup USING (h)
+      WHERE NOT (o.id = struct_extract(dup.surv, 'id')
+                 AND o.p = struct_extract(dup.surv, 'p'))
+    ),
+    rmset AS (SELECT id, list_distinct(list(tt)) AS rml FROM rm GROUP BY id)
+    SELECT t.id AS id,
+      coalesce(array_to_string(
+        list_filter(list_transform(generate_series(1, len(ws)),
+                                   j -> CASE WHEN list_contains(
+                                               coalesce(rmset.rml, []), j - 1)
+                                             THEN NULL ELSE ws[j] END),
+                    x -> x IS NOT NULL), ' '), '') AS clean_text,
+      coalesce(len(rmset.rml), 0)::INT AS n_tokens_removed
+    FROM t LEFT JOIN rmset USING (id)
+    """,
+)
+def q86(spark, sf_dir):
+    """The MAINTAINED span-excision index, driver-gated
+    (maintain_span_index — q83's operator made incremental for
+    batch-arriving crawls, VERDICT r5 #7): three consecutive document
+    slices chained through a fresh persisted gram index inside the
+    query, each rewritten against everything seen before it. The
+    oracle is the FROM-SCRATCH excision SQL over the union (q83's
+    shape at doc_id < 300) — chained == scratch is the operator's
+    defining theorem when ids ascend with arrival, so the oracle
+    match certifies the index path end-to-end. The temp index
+    directory is deleted before returning (outputs are
+    localCheckpoint-ed inside maintain_span_index)."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.dedup import maintain_span_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="q86_span_idx_")
+    try:
+        out = None
+        for s in range(3):
+            b = docs.where(
+                (F.col("doc_id") >= 100 * s) & (F.col("doc_id") < 100 * (s + 1))
+            ).select("doc_id", "text")
+            r = maintain_span_index(spark, idx, b, "doc_id", "text", k=5)
+            out = r if out is None else out.unionByName(r)
+        return out.withColumnRenamed("doc_id", "id")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _train_sql(dim: int, lr: float, epochs: int) -> str:
+    """Unrolled full-batch-GD oracle for q85 (the ivf-style 'oracle
+    mirrors the whole iterative computation' pattern): one CTE trio
+    (dot product, quantized error, gradient -> next weights) per
+    epoch, then the final scoring pass. Micro-integer weights + the
+    rational sigmoid make every step bit-reproducible across engines
+    (see quality_classifier_train's numerics note)."""
+    zd = "(CAST({z} AS DOUBLE)/1e12)"
+    p = "(0.5 + 0.5 * ({zd} / (1.0 + abs({zd}))))"
+    head = f"""
+    WITH d AS (SELECT doc_id AS id,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                      text
+               FROM documents WHERE doc_id < 400),
+    t AS (SELECT id, list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\\s+'),
+                                 x -> x != '') AS ws
+          FROM d),
+    gr AS (
+      SELECT id, unnest(list_concat(ws,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE []::VARCHAR[] END)) AS g
+      FROM t),
+    cf AS (SELECT id,
+                  (('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT
+                     % {dim})::INT AS f,
+                  count(*)::BIGINT AS c
+           FROM gr GROUP BY 1, 2),
+    c AS (SELECT * FROM cf
+          UNION ALL SELECT id, -1::INT, 1::BIGINT FROM d),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+    w0 AS (SELECT unnest(generate_series(-1, {dim - 1}))::INT AS f,
+                  0::BIGINT AS w)"""
+    body = []
+    for e in range(1, epochs + 1):
+        zde = zd.format(z="s.zi")
+        body.append(f"""
+    s{e} AS (SELECT c.id, CAST(sum(c.c * w.w) AS BIGINT) AS zi
+             FROM c JOIN w{e - 1} w USING (f) GROUP BY c.id),
+    e{e} AS (SELECT d.id,
+                    CAST(FLOOR(({p.format(zd=zde)} - d.y) * 1e12) AS BIGINT)
+                      AS eq
+             FROM d JOIN s{e} s USING (id)),
+    g{e} AS (SELECT c.f, CAST(sum(e.eq * c.c) AS BIGINT) AS gr
+             FROM e{e} e JOIN c USING (id) GROUP BY c.f),
+    w{e} AS (SELECT w.f,
+                    CAST(FLOOR((CAST(w.w AS DOUBLE)/1e12
+                                - ({lr!r}/nn.n)
+                                  * (CAST(coalesce(g.gr, 0) AS DOUBLE)/1e12))
+                               * 1e12) AS BIGINT) AS w
+             FROM w{e - 1} w LEFT JOIN g{e} g USING (f) CROSS JOIN nn)""")
+    zdf = zd.format(z="s.zi")
+    tail = f""",
+    sf AS (SELECT c.id, CAST(sum(c.c * w.w) AS BIGINT) AS zi
+           FROM c JOIN w{epochs} w USING (f) GROUP BY c.id)
+    SELECT s.id AS id, {p.format(zd=zdf)} AS score, d.y AS label
+    FROM sf s JOIN d USING (id)"""
+    return head + "," + ",".join(body) + tail
+
+
+@_q("q85_ts_classifier_training", _train_sql(dim=32, lr=0.5, epochs=3))
+def q85(spark, sf_dir):
+    """TRAIN the hashed-feature quality classifier relationally
+    (quality_classifier_train) and score the corpus with the fitted
+    weights — q82 gates inference with pinned weights; this closes the
+    train side (VERDICT r5 #5). Full-batch gradient descent, 3 epochs,
+    label = (lang = 'en'): per epoch one doc-keyed exact-integer dot
+    product, one feature-keyed exact-integer gradient, and a
+    dim+1-row driver update — the ivf_train Lloyd-loop shape. The
+    DuckDB oracle unrolls the identical epochs; micro-integer weights
+    and the rational sigmoid make the match bit-for-bit (no float-sum
+    order dependence, no libm exp divergence)."""
+    from mel_tnnt_spark.operators.textstats import (
+        quality_classifier_apply_micro,
+        quality_classifier_train,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id", "text",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+    w, _losses = quality_classifier_train(
+        docs, "doc_id", "text", "y", dim=32, lr=0.5, epochs=3,
+        portable_hash=True,
+    )
+    scored = quality_classifier_apply_micro(
+        docs, "doc_id", "text", w, dim=32, portable_hash=True
+    )
+    return scored.join(docs.select("doc_id", F.col("y").alias("label")), "doc_id").select(
+        F.col("doc_id").alias("id"), "score", "label"
+    )
+
+
+@_q(
     "q81_curation_decision",
     """
     WITH r AS (
@@ -3210,13 +3375,45 @@ _R04_DRIVER_CERTIFIED = frozenset({
     "q82_ts_quality_classifier",
 })
 
+
+# Queries whose LATEST green driver row is in CORRECTNESS_r05.json
+# (the r05 window: 50/50 green — q83/q84 plus the rotation's retest
+# and stable tiers as of round 5).
+_R05_DRIVER_CERTIFIED = frozenset({
+    "q01_a1_pricing_summary", "q02_j1_broadcast_join_agg",
+    "q03_j1_multijoin_revenue_by_nation", "q04_w3_latest_event_per_user",
+    "q05_a13_time_span_per_type", "q06_a9_value_buckets",
+    "q07_j5_customers_without_orders", "q08_so2_shared_vocabulary",
+    "q09_j4_duplicate_orderkeys", "q10_a2_keyword_counts",
+    "q11_a3_pattern_match_counts", "q12_j6_containment_mentions",
+    "q13_a8_stats_per_lang", "q14_a5_rollup_lang_source", "q15_w2_pagination",
+    "q16_w4_topk_docs", "q17_dd_exact_dedup", "q18_dd_ngram_jaccard_pairs",
+    "q19_dd_minhash_signatures", "q20_dd_simhash", "q23_ts_lang_id",
+    "q24_ts_quality_score", "q25_ts_fingerprint", "q26_ts_token_count",
+    "q28_cc_embedding_graph", "q30_a8_mode_quantity_per_flag",
+    "q35_dd_lsh_pairs", "q36_j6_large_vocab_containment",
+    "q37_j2_lookup_with_fallback", "q39_p2_only_startfrom",
+    "q50_hypertable_rollup", "q51_count_min_sketch",
+    "q60_w5_w6_mention_stage", "q61_j8_entity_linking",
+    "q62_dd_simhash_pairs", "q63_f17_summary_filters",
+    "q66_a6_aggregated_summary", "q70_curation_pipeline", "q72_bm25_ranking",
+    "q73_winnowing_overlap", "q75_m_nltk_category_rescan",
+    "q76_a14_csv_ner_merge_order", "q77_dd_cluster_survivors",
+    "q78_ts_pii_scrub", "q79_ts_repetition_metrics",
+    "q80_dd_cross_corpus_overlap", "q81_curation_decision",
+    "q82_ts_quality_classifier", "q83_dd_span_excision",
+    "q84_dd_overlap_index_chained",
+})
+
 # Marker commits: the artifact-only commit the driver wrote at the END
 # of each round — the certified rows were produced on this code state
 # (the marker adds only CORRECTNESS/BENCH/VERDICT files on top of it).
-_ROUND_MARKERS = {"r03": "cbfaa54", "r04": "f34ea97"}
+_ROUND_MARKERS = {"r03": "cbfaa54", "r04": "f34ea97", "r05": "3c7f0a3"}
 
 
 def _cert_round(name: str) -> str | None:
+    if name in _R05_DRIVER_CERTIFIED:
+        return "r05"
     if name in _R04_DRIVER_CERTIFIED:
         return "r04"
     if name in _R03_DRIVER_CERTIFIED:

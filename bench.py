@@ -73,6 +73,10 @@ HEADLINE = [
     "q80_dd_cross_corpus_overlap",
     "q81_curation_decision",
     "q82_ts_quality_classifier",
+    "q83_dd_span_excision",
+    "q84_dd_overlap_index_chained",
+    "q85_ts_classifier_training",
+    "q86_dd_span_index_chained",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -1037,7 +1037,8 @@ def maintain_overlap_index(
 
 
 def excise_duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    hot_df: int = 100_000,
 ) -> DataFrame:
     """EXACT duplicated-span REMOVAL — the standard LLM-curation
     operator ("Deduplicating Training Data Makes Language Models
@@ -1073,28 +1074,47 @@ def excise_duplicate_spans(
     tokens pass through untouched.
 
     At 100 TB: two linear shuffles (gram hash, doc id), zero UDFs,
-    no pairwise joins — boilerplate-heavy corpora skew the gram-hash
-    shuffle, which AQE skew-split handles; the md5 is portable so a
-    DuckDB oracle mirrors bit-for-bit (q83)."""
+    no pairwise joins; the md5 is portable so a DuckDB oracle mirrors
+    bit-for-bit (q83).
+
+    SKEW (boilerplate-heavy corpora, VERDICT r5 #2): one license
+    header shared by 50% of docs concentrates that gram's every
+    occurrence in ONE reduce partition of the occ-dup join. AQE's
+    OptimizeSkewedJoin cannot split this join — the dup side is an
+    aggregate over the SAME exchange (sort-over-aggregate-over-stage,
+    not a bare shuffle stage), so the rule never matches — and the
+    aggregate itself is already safe (map-side combine caps reduce
+    rows at #map-partitions per key). The fix is in the operator:
+    duplicated grams split at `hot_df` occurrences into a COLD side
+    (per-key join load < hot_df by construction, SMJ on the reused
+    exchange) and a HOT side, which is BROADCAST — hot grams are few
+    by definition (#hot <= total_grams/hot_df), and the broadcast
+    join runs map-side on the unshuffled occ rows, so the hot gram's
+    occurrences never concentrate anywhere
+    (test_excise_hot_gram_broadcast_path)."""
     if k < 1:
         raise ValueError(f"excise_duplicate_spans: k must be >= 1, got {k}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("_w"),
+    return _excise_with_dup_split(
+        _span_toks(df, id_col, text_col), None, id_col, k, hot_df
     )
-    grams_arr = F.when(
-        F.size("_w") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_w") - k),
-            lambda i: F.array_join(F.slice("_w", i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = toks.select(
-        "id", F.posexplode(grams_arr).alias("p", "g")
-    ).select("id", "p", F.expr(_h("g")).alias("h"))
+
+
+def _excise_with_dup_split(
+    toks: DataFrame,
+    seen,
+    id_col: str,
+    k: int,
+    hot_df: int,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Shared core of excise_duplicate_spans and maintain_span_index:
+    occurrence explode -> duplicated-gram agg -> hot/cold split join
+    (see excise_duplicate_spans's SKEW note) -> rewrite. `seen` is an
+    optional (h) frame of grams already in a persisted index whose
+    every batch occurrence must be excised (the incremental path);
+    `occ` lets that path pass its already-persisted occurrence frame."""
+    if occ is None:
+        occ = _span_occ(toks, k)
     dup = (
         occ.groupBy("h")
         .agg(
@@ -1102,11 +1122,59 @@ def excise_duplicate_spans(
             F.min(F.struct("id", "p")).alias("_surv"),
         )
         .where(F.col("_c") >= 2)
-        .select("h", "_surv")
     )
-    excise = occ.join(dup, "h").where(
-        ~((F.col("id") == F.col("_surv.id")) & (F.col("p") == F.col("_surv.p")))
+    not_surv = ~(
+        (F.col("id") == F.col("_surv.id")) & (F.col("p") == F.col("_surv.p"))
     )
+    cold = occ.join(
+        dup.where(F.col("_c") < hot_df).select("h", "_surv"), "h"
+    ).where(not_surv)
+    hot = occ.join(
+        F.broadcast(dup.where(F.col("_c") >= hot_df).select("h", "_surv")), "h"
+    ).where(not_surv)
+    excise = cold.unionByName(hot)
+    if seen is not None:
+        excise = excise.select("id", "p", "h").unionByName(
+            occ.join(seen, "h").select("id", "p", "h")
+        )
+    else:
+        excise = excise.select("id", "p", "h")
+    return _rewrite_excised(toks, excise, id_col, k)
+
+
+def _span_toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _w): case-preserving whitespace token array — the shared
+    tokenizer of excise_duplicate_spans and maintain_span_index."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_w"),
+    )
+
+
+def _span_occ(toks: DataFrame, k: int) -> DataFrame:
+    """(id, p, h): every sliding k-gram occurrence with its md5-60bit
+    hash — one codegen md5 per gram, no UDFs."""
+    grams_arr = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.array_join(F.slice("_w", i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "id", F.posexplode(grams_arr).alias("p", "g")
+    ).select("id", "p", F.expr(_h("g")).alias("h"))
+
+
+def _rewrite_excised(
+    toks: DataFrame, excise: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Rewrite token arrays with the excised occurrences' covered
+    indices removed: (id_col, clean_text, n_tokens_removed). Only
+    DUPLICATED regions explode — cost linear in duplicated text."""
     removed = (
         excise.select("id", F.explode(F.sequence("p", F.col("p") + (k - 1))).alias("t"))
         .groupBy("id")
@@ -1124,3 +1192,170 @@ def excise_duplicate_spans(
             F.size(rm).alias("n_tokens_removed"),
         )
     )
+
+
+_SPAN_META = "_span_meta.json"
+SPAN_INDEX_VERSION = 1  # whitespace tokens, sliding k-gram, md5-60bit hash
+
+
+def _span_meta_check(index_path: str, k: int, n_buckets: int) -> int:
+    """Pin the span-gram definition (k, hash version) and bucket
+    layout to the index, exactly like _overlap_meta_check: an index
+    built with a different k would silently miss or over-excise."""
+    import json
+    import os
+
+    mp = os.path.join(index_path, _SPAN_META)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            meta = json.load(f)
+        got = (meta.get("k"), meta.get("span_version"))
+        want = (k, SPAN_INDEX_VERSION)
+        if got != want:
+            raise ValueError(
+                f"span index at {index_path} was built with "
+                f"(k, span_version)={got}; this call uses {want} — mixed "
+                "gram definitions are incomparable. Rebuild the index or "
+                "call with the recorded parameters."
+            )
+        return int(meta.get("n_buckets", n_buckets))
+    os.makedirs(index_path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump(
+            {"k": k, "span_version": SPAN_INDEX_VERSION, "n_buckets": n_buckets},
+            f,
+        )
+    return n_buckets
+
+
+def maintain_span_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int = 16,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+    hot_df: int = 100_000,
+) -> DataFrame:
+    """INCREMENTAL exact duplicated-span excision — the stateful twin
+    of excise_duplicate_spans for the "crawl arrives in batches"
+    pipeline (VERDICT r5 #7): rewrite THIS batch's docs with every
+    k-token run already seen (in any prior batch, or earlier in this
+    batch) excised, then fold the batch's gram hashes into the
+    persisted index. Previously returned batches are never touched —
+    their occurrences were first, exactly as the batch operator keeps
+    the globally-first occurrence.
+
+    Chained batches == excise_duplicate_spans on the concatenated
+    corpus whenever doc ids are ordered consistently with arrival
+    (earlier batch => smaller (id, p)) — the batch operator's
+    min(id, p) survivor then IS the earliest-batch occurrence
+    (test-pinned in test_maintain_span_index_chained_equals_scratch).
+    Within a batch the survivor is min(id, p) as in the batch op; a
+    gram already in the index excises ALL its batch occurrences (the
+    prior-batch occurrence is the survivor).
+
+    Index layout = maintain_overlap_index's LSM: `fp/` compacted base
+    bucketed on fingerprint + `fp_log/batch=<content-tag>/kb=*`
+    appends, compacted every `compact_every` batches; rows are
+    (fingerprint, id) where id is the batch-min doc containing the
+    gram — the id is NOT part of the excision semantics, it exists so
+    a REPLAYED batch can anti-join its own fold-in back out of the
+    probe (same trick as the overlap index; a bare hash set would make
+    a replayed batch see its own grams as "prior corpus" and excise
+    everything). O(batch) per batch: probe = pruned base/log narrowed
+    by a broadcast semi-join on the batch's distinct hashes; fold-in
+    appends O(batch) bytes; compaction amortized. Crash/replay-safe
+    the same way: content-addressed append dirs (replay skips the
+    write), staging-dir sweep, merge-then-delete compaction absorbed
+    by the (fingerprint, id) dedup, and the rewritten batch is
+    localCheckpoint-ed BEFORE the fold-in so eviction can never
+    recompute it against the mutated index."""
+    import os
+    import shutil
+
+    from mel_tnnt_spark.operators.merge_sink import (
+        _bucket_expr,
+        _recover,
+        merge_upsert,
+        read_merged_pruned,
+    )
+
+    n_buckets = _span_meta_check(index_path, k, n_buckets)
+    fp_path = os.path.join(index_path, _FP_SUBDIR)
+    log_path = os.path.join(index_path, _FP_LOG_SUBDIR)
+    _recover(fp_path)
+    if os.path.isdir(log_path):  # sweep crashed appends
+        for d in os.listdir(log_path):
+            if d.startswith(_LOG_STAGING_PREFIX):
+                shutil.rmtree(os.path.join(log_path, d), ignore_errors=True)
+    toks = _span_toks(batch, id_col, text_col).persist()
+    occ = _span_occ(toks, k).persist()
+    try:
+        probe = occ.select(F.col("h").alias("fingerprint")).distinct()
+        sides = []
+        if os.path.isdir(fp_path):
+            sides.append(read_merged_pruned(spark, fp_path, probe))
+        log_side = _read_log_pruned(spark, log_path, probe, n_buckets)
+        if log_side is not None:
+            sides.append(log_side)
+        seen = None
+        if sides:
+            idx = sides[0]
+            for s in sides[1:]:
+                idx = idx.unionByName(s)
+            batch_ids = toks.select("id").distinct()
+            seen = (
+                idx.join(F.broadcast(probe), "fingerprint")
+                # a replayed batch's own fold-in is not "prior corpus"
+                .join(batch_ids, "id", "left_anti")
+                .select(F.col("fingerprint").alias("h"))
+                .distinct()
+            )
+        out = _excise_with_dup_split(
+            toks, seen, id_col, k, hot_df, occ=occ
+        ).localCheckpoint(eager=True)
+
+        # fold-in: content-addressed append of the batch's distinct
+        # gram hashes tagged with the batch-min containing doc id
+        # (replay anti-join handle), O(batch), no rewrite
+        bfp = occ.groupBy(F.col("h").alias("fingerprint")).agg(
+            F.min("id").alias("id")
+        )
+        tag = content_tag(bfp, F.col("fingerprint"))
+        dest = os.path.join(log_path, f"batch={tag}")
+        if not os.path.isdir(dest):
+            os.makedirs(log_path, exist_ok=True)
+            staging = os.path.join(log_path, f"{_LOG_STAGING_PREFIX}{tag}")
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                bfp.withColumn("kb", _bucket_expr(("fingerprint",), n_buckets))
+                .repartition(F.col("kb"))
+                .write.mode("overwrite")
+                .partitionBy("kb")
+                .parquet(staging)
+            )
+            os.rename(staging, dest)
+
+        dirs = _log_batch_dirs(log_path)
+        if len(dirs) >= compact_every:
+            log_all = (
+                spark.read.option("basePath", log_path)
+                .parquet(*[os.path.join(log_path, d) for d in dirs])
+                .drop("kb", "batch")
+                .dropDuplicates(["fingerprint", "id"])
+            )
+            merge_upsert(
+                spark, fp_path, log_all,
+                keys=("fingerprint", "id"),
+                bucket_keys=("fingerprint",),
+                n_buckets=n_buckets,
+            )
+            for d in dirs:
+                shutil.rmtree(os.path.join(log_path, d), ignore_errors=True)
+    finally:
+        occ.unpersist()
+        toks.unpersist()
+    return out

@@ -322,6 +322,53 @@ def curation_decision(
     )
 
 
+def hashed_gram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(id, f, c) hashed unigram+bigram bag — the shared featurizer of
+    the quality classifier's scorer and trainer. One codegen pass:
+    lowercase whitespace tokens, adjacent bigrams, hash to [0, dim),
+    ONE map-side-combined groupBy. The shuffle carries (doc, feature,
+    count) capped at dim rows per doc, never the token stream."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_w"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.col("_w"),
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    if portable_hash:
+        fid = F.expr(
+            f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {dim}"
+        ).cast("int")
+    else:
+        fid = F.pmod(F.xxhash64("g"), F.lit(dim)).cast("int")
+    return grams.select("id", fid.alias("f")).groupBy("id", "f").agg(
+        F.count("*").alias("c")
+    )
+
+
 def quality_classifier_weights(dim: int = 64) -> list[tuple[int, float]]:
     """Deterministic stand-in weight vector for the hashed-feature
     quality classifier (a trained fastText/CCNet-style model's weights
@@ -368,39 +415,7 @@ def quality_classifier_scores(
     way; a trained model's weights are hash-space-specific (train and
     score with the same setting)."""
     spark = df.sparkSession
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("_w"),
-    )
-    grams = toks.select(
-        "id",
-        F.explode(
-            F.concat(
-                F.col("_w"),
-                F.when(
-                    F.size("_w") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("_w") - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>")),
-            )
-        ).alias("g"),
-    )
-    if portable_hash:
-        fid = F.expr(
-            f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {dim}"
-        ).cast("int")
-    else:
-        fid = F.pmod(F.xxhash64("g"), F.lit(dim)).cast("int")
-    counts = grams.select("id", fid.alias("f")).groupBy("id", "f").agg(
-        F.count("*").alias("c")
-    )
+    counts = hashed_gram_counts(df, id_col, text_col, dim, portable_hash)
     from mel_tnnt_spark.session import local_dim
 
     w = local_dim(
@@ -417,3 +432,144 @@ def quality_classifier_scores(
             "quality_prob"
         ),
     )
+
+
+def quality_classifier_train(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    dim: int = 64,
+    lr: float = 0.5,
+    epochs: int = 3,
+    portable_hash: bool = False,
+) -> tuple[list[tuple[int, int]], list[float]]:
+    """Fit the hashed-feature linear quality classifier RELATIONALLY —
+    the training half of quality_classifier_scores (a curation
+    pipeline fits its CCNet/fastText-style scorer on labeled docs; the
+    reference ships only pre-trained model weights, e.g. the NER model
+    registry in code/NLP_NER/EntityRecognition.py — this closes the
+    train side). Full-batch gradient descent, the same relational
+    shape as ivf_train's Lloyd loop: per epoch ONE doc-keyed
+    aggregation (the dot product) and ONE feature-keyed aggregation
+    (the gradient); driver state is the (dim+1)-long weight vector,
+    nothing else. The bias is feature -1 with an implicit count of 1
+    per doc, so it trains through the identical path.
+
+    Numerics are EXACT by construction, which is what makes the result
+    cross-engine reproducible (q85's DuckDB oracle unrolls the same
+    epochs and matches bit-for-bit):
+
+    - weights live as integer micro-units (w_int = w * 1e12), so the
+      per-doc dot product sum(c * w_int) is an exact integer sum —
+      no float-addition order dependence across partitions/engines;
+    - the link is the RATIONAL sigmoid p = 0.5 + 0.5*z/(1+|z|)
+      (softsign): +,-,*,/ are correctly rounded under IEEE 754 in
+      every engine, unlike exp(), whose last-ulp differences between
+      libm implementations would otherwise compound over epochs;
+    - the per-doc error is re-quantized to micro-units via floor(),
+      so the gradient sum(err_int * c) is again an exact integer sum;
+    - the weight update runs driver-side in Python doubles — the same
+      correctly-rounded operations the oracle's SQL expression
+      performs, in the same order.
+
+    Returns (weights_micro, losses): weights_micro is
+    [(f, w_int)] for f in [-1, dim), losses the per-epoch squared
+    gradient norm (driver-side convergence diagnostic — shrinks to 0
+    as the fit converges; not part of the oracle gate).
+
+    At 100 TB: featurization is one linear pass + one (id, f) shuffle,
+    cached once across epochs; each epoch shuffles (id, err) and
+    (f, partial-grad) only; the collect is dim+1 rows per epoch."""
+    import math
+
+    spark = docs.sparkSession
+    from mel_tnnt_spark.session import local_dim
+
+    labeled = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+    ).where(F.col("y").isNotNull())
+    counts = hashed_gram_counts(docs, id_col, text_col, dim, portable_hash)
+    # bias pseudo-feature: f = -1, count 1 for every labeled doc
+    counts_aug = counts.unionByName(
+        labeled.select("id", F.lit(-1).alias("f"), F.lit(1).cast("long").alias("c"))
+    ).persist()
+    n = labeled.count()
+    if n == 0:
+        counts_aug.unpersist()
+        return [(f, 0) for f in range(-1, dim)], []
+
+    w_int: dict[int, int] = {f: 0 for f in range(-1, dim)}
+    losses: list[float] = []
+    for _ in range(epochs):
+        w_df = local_dim(
+            spark, sorted(w_int.items()), "f int, w long"
+        )
+        zi = (
+            counts_aug.join(F.broadcast(w_df), "f")
+            .groupBy("id")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("zi"))
+        )
+        zd = F.col("zi").cast("double") / F.lit(1e12)
+        p = F.lit(0.5) + F.lit(0.5) * (zd / (F.lit(1.0) + F.abs(zd)))
+        err = labeled.join(zi, "id").select(
+            "id",
+            F.floor((p - F.col("y")) * F.lit(1e12)).cast("long").alias("eq"),
+        )
+        grad_rows = (
+            err.join(counts_aug, "id")
+            .groupBy("f")
+            .agg(F.sum(F.col("eq") * F.col("c")).cast("long").alias("gr"))
+            .collect()
+        )
+        grad = {r["f"]: r["gr"] for r in grad_rows}
+        # same expression shape as the oracle's SQL update, evaluated
+        # in Python doubles (identical correctly-rounded IEEE ops):
+        # floor((w/1e12 - (lr/n)*(g/1e12)) * 1e12)
+        w_int = {
+            f: math.floor(
+                (w / 1e12 - (lr / float(n)) * (grad.get(f, 0) / 1e12)) * 1e12
+            )
+            for f, w in w_int.items()
+        }
+        losses.append(
+            sum((g / 1e12 / max(n, 1)) ** 2 for g in grad.values())
+        )
+    counts_aug.unpersist()
+    return sorted(w_int.items()), losses
+
+
+def quality_classifier_apply_micro(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_micro: list[tuple[int, int]],
+    dim: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Score docs with micro-integer weights from
+    quality_classifier_train, with the same exact arithmetic (integer
+    dot product, rational sigmoid) — (id, score) with score in (0,1).
+    Distributed application: broadcast dim+1-row weight dim, one
+    (id, f) aggregation, codegen link."""
+    spark = docs.sparkSession
+    from mel_tnnt_spark.session import local_dim
+
+    counts = hashed_gram_counts(docs, id_col, text_col, dim, portable_hash)
+    counts_aug = counts.unionByName(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.lit(-1).alias("f"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    w_df = local_dim(spark, sorted(weights_micro), "f int, w long")
+    zi = (
+        counts_aug.join(F.broadcast(w_df), "f")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("zi"))
+    )
+    zd = F.col("zi").cast("double") / F.lit(1e12)
+    p = F.lit(0.5) + F.lit(0.5) * (zd / (F.lit(1.0) + F.abs(zd)))
+    return zi.select(F.col("id").alias(id_col), p.alias("score"))

@@ -329,6 +329,62 @@ def stream_maintain_overlap_index(
     )
 
 
+def stream_excise_spans(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int = 16,
+    once: bool = True,
+):
+    """Continuous exact duplicated-span excision: every micro-batch of
+    documents is rewritten against the persisted gram index via
+    maintain_span_index (previously seen k-token runs excised, batch's
+    grams folded in), with the rewritten docs appended under
+    `out_path/batch=<content-hash>/` — the streaming twin of q83's
+    batch-global operator, same state layout as the q84 contamination
+    stream. Idempotency is two-layer, exactly like
+    stream_maintain_overlap_index: applied-batch markers skip
+    re-applies, and both effects are replay-safe alone —
+    maintain_span_index returns the original rewrite on a replayed
+    batch (the index stores (gram, batch-min doc id) rows and the
+    probe anti-joins the batch's own ids out, so the batch's earlier
+    fold-in is invisible to its own replay; the fold-in itself is a
+    content-addressed no-op), and the output directory is
+    content-addressed and staged+renamed.
+    Stream == chained-batch equality is pinned in
+    tests/test_streaming.py."""
+    from mel_tnnt_spark.operators.dedup import content_tag, maintain_span_index
+
+    def apply(batch_df: DataFrame) -> None:
+        import os
+        import shutil
+
+        batch_df = batch_df.dropna(subset=[id_col])
+        tag = content_tag(
+            batch_df, F.col(id_col), F.coalesce(F.col(text_col), F.lit(""))
+        )
+        out = maintain_span_index(
+            batch_df.sparkSession, index_path, batch_df, id_col, text_col,
+            k=k, n_buckets=n_buckets,
+        )
+        final = f"{out_path}/batch={tag}"
+        staging = f"{out_path}/__staging-{tag}"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    return _replay_protected_stream(
+        doc_stream, index_path, checkpoint_dir, apply, once
+    )
+
+
 def read_overlap_pair_log(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All contamination pairs the stream has emitted (union of the
     per-batch directories), with the batch tag attached."""

@@ -1328,3 +1328,312 @@ def test_dedup_chain_survivors_stable_under_pair_shuffle(spark):
         for r in dedup_clusters(docs.select("id"), shuffled).collect()
     }
     assert base == redo
+
+
+def test_classifier_training_loss_decreases_and_separates(spark):
+    """Full-batch GD on linearly separable data: the per-epoch
+    gradient-norm diagnostic shrinks and the trained model separates
+    the classes (every positive doc scores above every negative).
+    Labels keyed on a marker token so the problem is trivially
+    separable in the hashed feature space."""
+    from mel_tnnt_spark.operators.textstats import (
+        quality_classifier_apply_micro,
+        quality_classifier_train,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"goodword alpha beta doc {i % 5}", 1.0))
+        else:
+            rows.append((i, f"badword gamma delta doc {i % 5}", 0.0))
+    docs = spark.createDataFrame(rows, "id long, text string, y double")
+    w, losses = quality_classifier_train(
+        docs, "id", "text", "y", dim=16, lr=1.0, epochs=6
+    )
+    assert len(losses) == 6
+    assert losses[-1] < losses[0], f"diagnostic did not shrink: {losses}"
+    scored = {
+        r["id"]: r["score"]
+        for r in quality_classifier_apply_micro(
+            docs, "id", "text", w, dim=16
+        ).collect()
+    }
+    pos = [scored[i] for i in range(40) if i % 2 == 0]
+    neg = [scored[i] for i in range(40) if i % 2 == 1]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+
+
+def test_classifier_training_deterministic_across_partitionings(spark):
+    """The exact-integer formulation's whole point: identical weights
+    regardless of how the input is partitioned (float-sum order would
+    otherwise leak into the model)."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_train
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 5} filler common words", float(i % 2))
+        for i in range(30)
+    ]
+    base = spark.createDataFrame(rows, "id long, text string, y double")
+    w1, _ = quality_classifier_train(base.repartition(1), "id", "text", "y",
+                                     dim=8, lr=0.7, epochs=3)
+    w2, _ = quality_classifier_train(base.repartition(13), "id", "text", "y",
+                                     dim=8, lr=0.7, epochs=3)
+    assert w1 == w2
+
+
+def test_classifier_training_empty_and_null_edge_cases(spark):
+    """No labeled docs -> zero weights, no epochs; null texts train
+    through the bias path without error."""
+    from mel_tnnt_spark.operators.textstats import quality_classifier_train
+
+    empty = spark.createDataFrame([], "id long, text string, y double")
+    w, losses = quality_classifier_train(empty, "id", "text", "y", dim=4)
+    assert w == [(f, 0) for f in range(-1, 4)] and losses == []
+
+    nulls = spark.createDataFrame(
+        # labels deliberately ASYMMETRIC: with one 1.0 and one 0.0 the
+        # bias gradient cancels exactly (err = -0.5 and +0.5) — correct
+        # but useless for asserting movement
+        [(1, None, 1.0), (2, "", 1.0), (3, "a b", None), (4, "   ", 0.0)],
+        "id long, text string, y double",
+    )
+    # the null-label doc is excluded; the null/empty/blank-text docs
+    # train bias only
+    w2, losses2 = quality_classifier_train(nulls, "id", "text", "y",
+                                           dim=4, epochs=2)
+    assert len(losses2) == 2
+    bias = dict(w2)[-1]
+    assert bias != 0 and all(v == 0 for f, v in w2 if f >= 0)
+
+
+def _excise_map(df):
+    return {
+        r[0]: (r["clean_text"], r["n_tokens_removed"]) for r in df.collect()
+    }
+
+
+def test_maintain_span_index_chained_equals_scratch(spark, tmp_path):
+    """Chained batches through the persisted gram index ==
+    excise_duplicate_spans on the concatenated corpus, when ids are
+    ordered consistently with arrival (the contract in the
+    docstring): the batch operator's min(id, p) survivor is then the
+    earliest-batch occurrence."""
+    from mel_tnnt_spark.operators.dedup import (
+        excise_duplicate_spans,
+        maintain_span_index,
+    )
+
+    run = "one two three four five six seven"
+    batches = [
+        [(1, run + " plus unique tail alpha"),
+         (2, "completely different words here nothing shared at all")],
+        [(10, "prefix text then " + run),               # cross-batch dup
+         (11, run)],                                     # exact run only
+        [(20, run + " again and again " + run)],         # within-doc too
+    ]
+    idx = str(tmp_path / "spanindex")
+    got = {}
+    for rows in batches:
+        b = spark.createDataFrame(rows, "id bigint, text string")
+        got.update(_excise_map(maintain_span_index(spark, idx, b, "id", "text", k=5)))
+
+    allrows = [r for bb in batches for r in bb]
+    scratch = _excise_map(
+        excise_duplicate_spans(
+            spark.createDataFrame(allrows, "id bigint, text string"),
+            "id", "text", k=5,
+        )
+    )
+    assert got == scratch
+    # sanity on the semantics themselves: doc 1 keeps the run, docs
+    # 10/11/20 lose every copy of it
+    assert got[1][1] == 0
+    assert "three four five" not in got[10][0]
+    assert got[11][0] == ""
+
+
+def test_maintain_span_index_replay_returns_original_rewrite(spark, tmp_path):
+    """A replayed batch (crash before the stream marker) must return
+    the ORIGINAL rewrite — the index already holds the batch's own
+    grams, and the (fingerprint, id) anti-join keeps them invisible
+    to the replay."""
+    import os
+
+    from mel_tnnt_spark.operators.dedup import maintain_span_index
+
+    idx = str(tmp_path / "spanindex")
+    b1 = spark.createDataFrame(
+        [(1, "one two three four five six")], "id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(5, "zero one two three four five six seven"),
+         (6, "fresh tokens nothing shared with anyone")],
+        "id bigint, text string",
+    )
+    maintain_span_index(spark, idx, b1, "id", "text", k=5)
+    first = _excise_map(maintain_span_index(spark, idx, b2, "id", "text", k=5))
+    log_dirs = sorted(os.listdir(os.path.join(idx, "fp_log")))
+    replay = _excise_map(maintain_span_index(spark, idx, b2, "id", "text", k=5))
+    assert replay == first
+    assert first[6][1] == 0 and first[5][1] > 0
+    # the replay appended nothing new
+    assert sorted(os.listdir(os.path.join(idx, "fp_log"))) == log_dirs
+
+
+def test_maintain_span_index_compaction_and_meta_pin(spark, tmp_path):
+    """Compaction (log -> bucketed base) must not change decisions,
+    and a k mismatch against the pinned meta must raise."""
+    import pytest as _pytest
+
+    from mel_tnnt_spark.operators.dedup import maintain_span_index
+
+    idx = str(tmp_path / "spanindex")
+    seed = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg")], "id bigint, text string"
+    )
+    # compact_every=2: the second call triggers a compaction
+    maintain_span_index(spark, idx, seed, "id", "text", k=5, compact_every=2)
+    mid = spark.createDataFrame(
+        [(2, "xx yy zz ww vv uu tt")], "id bigint, text string"
+    )
+    maintain_span_index(spark, idx, mid, "id", "text", k=5, compact_every=2)
+    probe = spark.createDataFrame(
+        [(9, "aa bb cc dd ee ff gg"), (10, "xx yy zz ww vv uu tt")],
+        "id bigint, text string",
+    )
+    out = _excise_map(
+        maintain_span_index(spark, idx, probe, "id", "text", k=5, compact_every=99)
+    )
+    assert out[9][0] == "" and out[10][0] == ""
+
+    with _pytest.raises(ValueError, match="span index"):
+        maintain_span_index(spark, idx, probe, "id", "text", k=4)
+
+
+def test_overlap_index_compaction_killed_between_merge_and_delete(spark, tmp_path, monkeypatch):
+    """TRUE fault injection for the LSM compaction crash window
+    (VERDICT r5 #6): kill the process (here: raise) AFTER the
+    log->base merge commits but BEFORE the log dirs are deleted. The
+    caller sees the crash (no pairs); the REPLAYED batch must then
+    return the exact original pairs, and the NEXT compaction must
+    converge the index to the same logical contents as a never-crashed
+    run."""
+    import os
+    import shutil as real_shutil
+
+    from mel_tnnt_spark.operators import dedup as dd
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, text string")
+    idx = str(tmp_path / "lsm_crash")
+    log_path = os.path.join(idx, dd._FP_LOG_SUBDIR)
+
+    dd.maintain_overlap_index(
+        spark, idx, mk([(1, para + " origin"), (2, "nothing shared here at all")]),
+        "id", "text", min_shared=1, max_df=None, compact_every=2,
+    )
+
+    killed = {"n": 0}
+    orig_rmtree = real_shutil.rmtree
+
+    def dying_rmtree(path, *a, **kw):
+        # the compaction loop deletes batch= dirs; die on the first one
+        if f"{os.sep}batch=" in str(path) and dd._FP_LOG_SUBDIR in str(path):
+            killed["n"] += 1
+            raise RuntimeError("injected kill between merge and delete")
+        return orig_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", dying_rmtree)
+    batch2 = [(10, "stolen " + para)]
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected kill"):
+            dd.maintain_overlap_index(
+                spark, idx, mk(batch2),
+                "id", "text", min_shared=1, max_df=None, compact_every=2,
+            )
+    finally:
+        monkeypatch.setattr("shutil.rmtree", orig_rmtree)
+    assert killed["n"] == 1
+    # crash state: base merged AND log dirs still present
+    assert len(dd._log_batch_dirs(log_path)) == 2
+    assert os.path.isdir(os.path.join(idx, dd._FP_SUBDIR))
+
+    # replay (what the stream scaffold does on restart): exact pairs
+    p_replay = dd.maintain_overlap_index(
+        spark, idx, mk(batch2),
+        "id", "text", min_shared=1, max_df=None, compact_every=2,
+    )
+    got = {(r["corpus_id"], r["batch_id"], r["shared"]) for r in p_replay.collect()}
+    assert len(dd._log_batch_dirs(log_path)) == 0  # compaction completed
+
+    idx2 = str(tmp_path / "lsm_clean")
+    dd.maintain_overlap_index(
+        spark, idx2, mk([(1, para + " origin"), (2, "nothing shared here at all")]),
+        "id", "text", min_shared=1, max_df=None,
+    )
+    want = {
+        (r["corpus_id"], r["batch_id"], r["shared"])
+        for r in dd.maintain_overlap_index(
+            spark, idx2, mk(batch2),
+            "id", "text", min_shared=1, max_df=None,
+        ).collect()
+    }
+    assert got == want
+    # logical index contents converge to the clean run's
+    a = {tuple(r) for r in dd.read_overlap_index(spark, idx).collect()}
+    b = {tuple(r) for r in dd.read_overlap_index(spark, idx2).collect()}
+    assert a == b
+
+
+def test_excise_hot_gram_broadcast_path(spark):
+    """Boilerplate skew hardening (VERDICT r5 #2): one k-gram block
+    shared by 50% of docs concentrates its every occurrence in one
+    reduce partition of the occ-dup join, and AQE's skew rule CANNOT
+    split that join (the dup side is an aggregate over the reused
+    exchange, not a bare shuffle stage — verified empirically before
+    this fix). excise_duplicate_spans therefore splits duplicated
+    grams at hot_df occurrences: hot grams join by BROADCAST, running
+    map-side on unshuffled occurrences. Pin (a) the broadcast join is
+    in the plan when a hot gram exists, (b) the output is exactly the
+    default-path output, token for token."""
+    from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
+
+    boiler = "terms of service apply to all"  # 6 tokens, two k=5 windows
+    rows = [
+        (
+            i,
+            # i-dependent tails so ONLY the boilerplate windows repeat
+            (boiler + f" u{i} v{i} w{i} x{i}")
+            if i % 2 == 0
+            else f"d{i} o{i} c{i} q{i} e{i} n{i} t{i}",  # all-unique tokens
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    hot = excise_duplicate_spans(df, "id", "text", k=5, hot_df=50)
+    es = hot._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in es, "hot grams did not take the broadcast path"
+    got = {r["id"]: r["n_tokens_removed"] for r in hot.collect()}
+    # doc 0 is the global survivor: keeps the boilerplate; every other
+    # even doc loses exactly its 6 tokens; odd docs untouched
+    assert got[0] == 0
+    assert all(got[i] == 6 for i in range(2, 4000, 2))
+    assert all(got[i] == 0 for i in range(1, 4000, 2))
+    # hot/cold split is a pure execution-strategy choice: outputs are
+    # identical to the everything-cold default
+    cold = {
+        (r["id"], r["clean_text"], r["n_tokens_removed"])
+        for r in excise_duplicate_spans(df, "id", "text", k=5).collect()
+    }
+    hot_set = {
+        (r["id"], r["clean_text"], r["n_tokens_removed"])
+        for r in hot.collect()
+    }
+    assert hot_set == cold

@@ -234,6 +234,8 @@ FUZZ_QUERIES = [
     "q82_ts_quality_classifier",
     "q83_dd_span_excision",
     "q84_dd_overlap_index_chained",
+    "q85_ts_classifier_training",
+    "q86_dd_span_index_chained",
 ]
 
 

@@ -153,17 +153,21 @@ def test_rotation_keeps_uncertified_queries_in_driver_window():
 
 def test_rotation_touch_derivation_flags_changed_dedup_path():
     """The certify-on-change derivation must flag the queries whose
-    implementation modules changed since their certifying round: the
-    round-4/5 dedup.py changes sit under q18/q19/q35 (r03-certified)
-    — the exact miss VERDICT r4 #2 called out. Also pins that the
-    derivation is conservative through the package import closure
-    (q50's rollup imports merge_sink, changed in r5)."""
+    implementation modules changed since their certifying round — the
+    exact miss VERDICT r4 #2 called out. Ground truth tracks the
+    newest certifications: q18/q19/q35 and q82 are r05-certified and
+    their modules (dedup.py: content_tag + span index; textstats.py:
+    trainer refactor) changed since the r05 marker, so they must be
+    flagged; merge_sink.py is UNCHANGED since r05, so q50 (rollup ->
+    merge_sink importer, the r5 closure example) must NOT be — the
+    derivation is change-driven, not pessimistic."""
     import __spark_entry__ as e
 
     touched = e._touched_since_certification()
     for n in ("q18_dd_ngram_jaccard_pairs", "q19_dd_minhash_signatures",
-              "q35_dd_lsh_pairs", "q50_hypertable_rollup"):
+              "q35_dd_lsh_pairs", "q82_ts_quality_classifier"):
         assert n in touched, f"{n} changed since certification, not flagged"
+    assert "q50_hypertable_rollup" not in touched
     # sanity: derivation is grounded — it never flags a query whose
     # cert round has no marker commit, and returns a subset of names
     assert touched <= set(e._Q)
@@ -193,3 +197,66 @@ def test_config_dims_are_local_relations(spark):
     # the weight dim must not appear as a python-RDD scan anywhere
     assert "Scan ExistingRDD" not in plan
     assert "LocalTableScan" in plan
+
+
+def test_local_correctness_artifact_matches_register():
+    """The committed CORRECTNESS_LOCAL artifact must cover EXACTLY the
+    current register (VERDICT r5 #4: q84 was registered after the r5
+    artifact was generated, leaving it one row short). Regenerate via
+    scripts/local_correctness.py whenever registration changes."""
+    import json
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    repo = Path(e.__file__).resolve().parent
+    arts = sorted(
+        repo.glob("CORRECTNESS_LOCAL_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p.stem).group(1)),
+    )
+    assert arts, "no CORRECTNESS_LOCAL artifact committed"
+    rows = set(json.loads(arts[-1].read_text()))
+    reg = set(e.queries())
+    assert rows == reg, (
+        f"stale local artifact {arts[-1].name}: "
+        f"missing={sorted(reg - rows)} extra={sorted(rows - reg)} — "
+        "re-run scripts/local_correctness.py"
+    )
+
+
+def test_driver_window_economy_every_query_fresh_or_untouched():
+    """Certify-on-change economy invariant (VERDICT r5 #8): every
+    registered query's newest green driver row is <=2 rounds old OR
+    the query is provably untouched since its certifying round — a
+    growing stable tail is re-certified rarely BY DESIGN, and this
+    pins that the design's precondition (untouched-ness) actually
+    holds for every aged-out row. Additionally, everything needing
+    recertification (never-certified or touched) must sit inside the
+    driver's 50-slot window."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    repo = Path(e.__file__).resolve().parent
+    rounds = [
+        int(re.search(r"_r(\d+)", p.stem).group(1))
+        for p in repo.glob("CORRECTNESS_r*.json")
+    ]
+    cur = max(rounds) + 1  # the round the next driver run will stamp
+    touched = e._touched_since_certification()
+    order = list(e.queries())
+    window = set(order[:50])
+    for n in order:
+        cert = e._cert_round(n)
+        if cert is None or n in touched:
+            assert n in window, (
+                f"{n} (cert={cert}, touched={n in touched}) rotated out "
+                "of the 50-slot driver window while needing recertification"
+            )
+        else:
+            age = cur - int(cert[1:])
+            assert age <= 2 or n not in touched, (n, cert, age)
+    for n in order[50:]:
+        assert e._cert_round(n) is not None and n not in touched

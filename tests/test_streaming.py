@@ -413,3 +413,72 @@ def test_stream_maintain_overlap_index_equals_scratch(spark, tmpdirs):
         for r in read_overlap_pair_log(spark, pairs_path).collect()
     }
     assert got2 == want
+
+
+def test_stream_excise_spans_equals_scratch_and_restart_noop(spark, tmpdirs):
+    """Streaming span excision: micro-batched doc arrivals rewritten
+    against the persisted gram index equal excise_duplicate_spans on
+    the concatenated corpus (ids ordered with arrival; one file per
+    trigger so batch order is deterministic), and a restart over the
+    same source re-applies nothing."""
+    import os
+
+    from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
+    from mel_tnnt_spark.streaming.incremental import stream_excise_spans
+
+    run = "one two three four five six seven"
+    batches = [
+        [(1, run + " plus unique tail alpha"),
+         (2, "completely different words here nothing shared at all")],
+        [(10, "prefix text then " + run), (11, run)],
+        [(20, run + " again and again " + run)],
+    ]
+    src = f"{tmpdirs}/exsrc"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "id bigint, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    idx = f"{tmpdirs}/exidx"
+    out_path = f"{tmpdirs}/exout"
+
+    def go():
+        stream = (
+            spark.readStream.schema("id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_excise_spans(
+            stream, idx, out_path, f"{tmpdirs}/ex_ckpt", k=5
+        )
+        q.awaitTermination(180)
+
+    go()
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in spark.read.option("basePath", out_path)
+        .parquet(f"{out_path}/batch=*").drop("batch").collect()
+    }
+    scratch = {
+        r["id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in excise_duplicate_spans(
+            spark.createDataFrame(
+                [r for bb in batches for r in bb], "id bigint, text string"
+            ),
+            "id", "text", k=5,
+        ).collect()
+    }
+    # NOTE: streaming file order is arrival order here (one file per
+    # trigger, ids ascend with batches), so chained == scratch holds
+    assert got == scratch
+
+    before = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    go()  # restart: markers + content-addressed dirs -> no-op
+    after = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    assert after == before
