@@ -3017,6 +3017,84 @@ def q86(spark, sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+@_q(
+    "q87_pack_sequence_layout",
+    r"""
+    WITH d AS (SELECT doc_id AS id,
+                      len(list_filter(string_split_regex(coalesce(text, ''),
+                                                         '\s+'),
+                                      x -> x != ''))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens)::BIGINT
+                   AS start_offset
+          FROM d)
+    SELECT id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset::DOUBLE / 512) AS BIGINT) AS bin_id,
+           start_offset % 512 AS offset_in_bin,
+           (n_tokens > 0 AND
+            CAST(FLOOR((start_offset + n_tokens - 1)::DOUBLE / 512) AS BIGINT)
+              != CAST(FLOOR(start_offset::DOUBLE / 512) AS BIGINT))
+             AS spans_boundary
+    FROM c
+    """,
+)
+def q87(spark, sf_dir):
+    """Sequence-packing LAYOUT (pack_sequences): every document's
+    position in the concatenated, 512-token-window-chunked corpus —
+    the GPT-style concat-and-chunk dataloader layout (start offset,
+    window id, offset inside the window, straddles-boundary flag).
+    The Spark plan is the TWO-LEVEL scan (id-space groups ->
+    partitioned intra-group running sums -> n_groups-row prefix
+    frame), never a single-partition global window; intra + prefix ==
+    global cumsum exactly, which is what the oracle's plain global
+    window checks."""
+    from mel_tnnt_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", capacity=512).withColumnRenamed(
+        "doc_id", "id"
+    )
+
+
+@_q(
+    "q88_pack_assembled_windows",
+    r"""
+    WITH d AS (SELECT doc_id AS id,
+                      list_filter(string_split_regex(coalesce(text, ''),
+                                                     '\s+'),
+                                  x -> x != '') AS ws
+               FROM documents WHERE doc_id < 200),
+    c AS (SELECT id, ws,
+                 sum(len(ws)::BIGINT) OVER (ORDER BY id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                   - len(ws)::BIGINT AS start_offset
+          FROM d),
+    t AS (SELECT c.id, c.ws[u.i] AS tok,
+                 c.start_offset + u.i - 1 AS gpos
+          FROM c, unnest(generate_series(1, len(c.ws))) AS u(i))
+    SELECT CAST(FLOOR(gpos::DOUBLE / 64) AS BIGINT) AS bin_id,
+           count(*) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY gpos) AS packed_text
+    FROM t GROUP BY 1
+    """,
+)
+def q88(spark, sf_dir):
+    """Assembled packed context windows (assemble_packed): the actual
+    64-token training sequences materialized from the q87 layout —
+    every window except the last holds exactly 64 tokens, documents
+    straddle edges (concat-and-chunk contract). One token-stream
+    explode keyed by global position, one shuffle on window id,
+    per-window state bounded by the capacity."""
+    from mel_tnnt_spark.operators.packing import assemble_packed
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return assemble_packed(docs, "doc_id", "text", capacity=64)
+
+
 def _train_sql(dim: int, lr: float, epochs: int) -> str:
     """Unrolled full-batch-GD oracle for q85 (the ivf-style 'oracle
     mirrors the whole iterative computation' pattern): one CTE trio

@@ -77,6 +77,8 @@ HEADLINE = [
     "q84_dd_overlap_index_chained",
     "q85_ts_classifier_training",
     "q86_dd_span_index_chained",
+    "q87_pack_sequence_layout",
+    "q88_pack_assembled_windows",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

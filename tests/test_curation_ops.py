@@ -1637,3 +1637,71 @@ def test_excise_hot_gram_broadcast_path(spark):
         for r in hot.collect()
     }
     assert hot_set == cold
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Concat-and-chunk layout: offsets are the exact global running
+    sum in id order, bins partition the token stream, the straddle
+    flag is precise — checked against a python mirror on mixed-length
+    docs including empty/null texts and sparse ids."""
+    import random
+
+    from mel_tnnt_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        doc_id = i * 7 + (3 if i % 5 == 0 else 0)  # sparse, uneven ids
+        k = rng.choice([0, 1, 3, 17, 40])
+        text = None if k == 0 and i % 10 == 0 else " ".join(
+            f"t{doc_id}_{j}" for j in range(k)
+        )
+        rows.append((doc_id, text))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cap = 32
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["bin_id"],
+            r["offset_in_bin"], r["spans_boundary"],
+        )
+        for r in pack_sequences(df, "doc_id", "text", cap, n_groups=16).collect()
+    }
+    run = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split()) if text else 0
+        start, bin_id = run, run // cap
+        spans = n > 0 and (start + n - 1) // cap != bin_id
+        assert got[doc_id] == (n, start, bin_id, start % cap, spans), doc_id
+        run += n
+
+    # two-level scan == global scan regardless of grouping granularity
+    alt = {
+        r["doc_id"]: r["start_offset"]
+        for r in pack_sequences(df, "doc_id", "text", cap, n_groups=3).collect()
+    }
+    assert alt == {d: v[1] for d, v in got.items()}
+
+
+def test_assemble_packed_windows_exact(spark):
+    """Every assembled window except the last holds exactly the
+    capacity; concatenating the windows in bin order reproduces the
+    corpus token stream in id order."""
+    from mel_tnnt_spark.operators.packing import assemble_packed
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([5, 0, 12, 7, 1, 30, 4])
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cap = 8
+    out = sorted(
+        (r["bin_id"], r["n_tokens"], r["packed_text"])
+        for r in assemble_packed(df, "doc_id", "text", cap).collect()
+    )
+    total = sum(len(t.split()) for _, t in rows)
+    assert [b for b, _, _ in out] == list(range((total + cap - 1) // cap))
+    assert all(n == cap for _, n, _ in out[:-1])
+    assert out[-1][1] == total - cap * (len(out) - 1)
+    stream = " ".join(t for _, _, t in out).split()
+    want = [w for _, t in sorted(rows) for w in t.split()]
+    assert stream == want

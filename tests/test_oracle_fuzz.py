@@ -236,6 +236,8 @@ FUZZ_QUERIES = [
     "q84_dd_overlap_index_chained",
     "q85_ts_classifier_training",
     "q86_dd_span_index_chained",
+    "q87_pack_sequence_layout",
+    "q88_pack_assembled_windows",
 ]
 
 
