@@ -3095,6 +3095,238 @@ def q88(spark, sf_dir):
     return assemble_packed(docs, "doc_id", "text", capacity=64)
 
 
+@_q(
+    "q89_cur_domain_cap",
+    """
+    WITH r AS (
+      SELECT doc_id AS id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_group
+      FROM documents)
+    SELECT id, source, rank_in_group FROM r WHERE rank_in_group <= 10
+    """,
+)
+def q89(spark, sf_dir):
+    """Host/domain frequency capping (cap_per_group — the
+    CCNet/RefinedWeb per-host cap, one of the corpus-composition
+    curation operators): keep at most 10 documents per source,
+    first-by-id, with the exact per-source rank attached. The Spark
+    plan is the SKEW-HARDENED two-stage rank (salted pre-prune ->
+    exact window over <= salts*cap rows per group), which the oracle's
+    plain one-level window certifies as semantically identical."""
+    from mel_tnnt_spark.operators.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", cap=10).select(
+        F.col("doc_id").alias("id"), "source", "rank_in_group"
+    )
+
+
+@_q(
+    "q90_cur_token_budget",
+    r"""
+    WITH d AS (SELECT doc_id AS id, lang,
+                      len(list_filter(string_split_regex(coalesce(text, ''),
+                                                         '\s+'),
+                                      x -> x != ''))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_tokens
+          FROM d)
+    SELECT id, lang, n_tokens, cum_tokens, cum_tokens <= 2000 AS kept
+    FROM c
+    """,
+)
+def q90(spark, sf_dir):
+    """Greedy per-language token-budget fill (token_budget_select):
+    walk each language's documents in id order accumulating
+    whitespace-token counts; kept iff the running total through the
+    document stays <= 2000 (prefix rule). Every row is returned with
+    its cut-point audit columns. One shuffle on the group key; the
+    running window carries constant state per row."""
+    from mel_tnnt_spark.operators.curation import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_select(docs, "lang", "doc_id", "text", budget=2000)
+
+
+@_q(
+    "q91_cur_mixture_sample",
+    """
+    WITH q(grp, quota) AS (VALUES ('de', 40), ('en', 80), ('es', 40),
+                                  ('fr', 20), ('zh', 20)),
+    d AS (SELECT doc_id AS id, lang,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+    r AS (SELECT d.id, d.lang, q.quota,
+                 row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.id)
+                   AS rank_in_group
+          FROM d JOIN q ON d.lang = q.grp)
+    SELECT id, lang, rank_in_group, quota::BIGINT AS quota
+    FROM r WHERE rank_in_group <= quota
+    """,
+)
+def q91(spark, sf_dir):
+    """Target-mixture domain sampling (mixture_sample — the
+    DoReMi/Pile recipe shape): select a 200-document corpus at target
+    language shares {en 0.4, de/es 0.2, fr/zh 0.1}, each group
+    deterministically pseudo-random-ordered by md5(id) (engine
+    portable — the oracle reproduces the exact pick). Quota dim is a
+    broadcast LocalRelation; selection is the same salted two-stage
+    rank as q89, so a group holding half the corpus never funnels
+    through one task."""
+    from mel_tnnt_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    shares = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+    return mixture_sample(docs, "lang", "doc_id", shares, total_docs=200)
+
+
+@_q(
+    "q92_dd_semantic_dedup",
+    """
+    WITH piv AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             embedding::DOUBLE[] AS pv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+    a AS (
+      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, p.cidx,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                       p.pv),
+                                         p.cidx) AS rn
+      FROM embeddings e CROSS JOIN piv p),
+    asg AS (SELECT id, v, cidx AS cluster_id FROM a WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT x.id
+      FROM asg x JOIN asg y
+        ON x.cluster_id = y.cluster_id AND y.id < x.id
+      WHERE CASE WHEN list_dot_product(x.v, x.v) > 0
+                  AND list_dot_product(y.v, y.v) > 0
+                 THEN round(list_cosine_similarity(x.v, y.v), 6) END > 0.25)
+    SELECT id, cluster_id,
+           id NOT IN (SELECT id FROM dup) AS keep
+    FROM asg
+    """,
+)
+def q92(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to 8
+    data-derived pivots (per-row argmin compiled into the plan — no
+    shuffle, no crossJoin), then drop any vector with a smaller-id
+    same-cluster neighbor above cosine 0.25 — near-dup pruning whose
+    candidate cost is sum of squared CLUSTER sizes, never corpus^2.
+    The oracle reproduces assignment (row_number argmin, same
+    (distance, index) tie order as q45) and the keep rule exactly."""
+    from mel_tnnt_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.25
+    )
+
+
+@_q(
+    "q93_pack_shard_assignment",
+    r"""
+    WITH d AS (SELECT doc_id AS id,
+                      len(list_filter(string_split_regex(coalesce(text, ''),
+                                                         '\s+'),
+                                      x -> x != ''))::BIGINT AS n_tokens
+               FROM documents),
+    r AS (SELECT id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens DESC, id) AS global_rank
+          FROM d)
+    SELECT (global_rank - 1) % 8 AS shard,
+           count(*) AS n_docs,
+           sum(n_tokens) AS tok_sum,
+           min(global_rank) AS first_rank
+    FROM r GROUP BY 1
+    """,
+)
+def q93(spark, sf_dir):
+    """Deterministic balanced shard assignment (assign_shards): global
+    rank by (n_tokens DESC, id), deal round-robin across 8 dataloader
+    shards (LPT heuristic — per-shard token imbalance bounded by one
+    max document). The Spark global rank is the TWO-LEVEL scan over
+    token-range buckets (intra-bucket row_number + descending prefix
+    counts), never a single-partition global window; the oracle's
+    plain global window certifies the equivalence. Query returns the
+    per-shard balance audit."""
+    from mel_tnnt_spark.operators.packing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs, "doc_id", "text", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.min("global_rank").alias("first_rank"),
+        )
+    )
+
+
+@_q(
+    "q94_pack_incremental_layout",
+    r"""
+    WITH d AS (SELECT doc_id AS id,
+                      len(list_filter(string_split_regex(coalesce(text, ''),
+                                                         '\s+'),
+                                      x -> x != ''))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens)::BIGINT
+                   AS start_offset
+          FROM d)
+    SELECT id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset::DOUBLE / 512) AS BIGINT) AS bin_id,
+           start_offset % 512 AS offset_in_bin,
+           (n_tokens > 0 AND
+            CAST(FLOOR((start_offset + n_tokens - 1)::DOUBLE / 512) AS BIGINT)
+              != CAST(FLOOR(start_offset::DOUBLE / 512) AS BIGINT))
+             AS spans_boundary
+    FROM c
+    """,
+)
+def q94(spark, sf_dir):
+    """Incremental sequence-packing layout (maintain_pack_layout —
+    q87's operator made stateful for batch-arriving crawls, the
+    packing leg of the q86/q84 maintenance family): three consecutive
+    document slices chained through a fresh persisted offset state
+    inside the query, each laid out AFTER everything before it
+    (persisted state = corpus token total + applied-batch ledger,
+    O(batch) per batch). The oracle is q87's FROM-SCRATCH global
+    window over the whole table — chained == scratch is the
+    operator's defining theorem when ids ascend with arrival, so the
+    hash match certifies the incremental path end-to-end."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.packing import maintain_pack_layout
+
+    docs = _t(spark, sf_dir, "documents")
+    cuts = [0, 150, 350, None]
+    state = tempfile.mkdtemp(prefix="q94_pack_state_")
+    try:
+        out = None
+        for lo, hi in zip(cuts, cuts[1:]):
+            cond = F.col("doc_id") >= lo if hi is None else (
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            b = docs.where(cond).select("doc_id", "text")
+            r = maintain_pack_layout(
+                spark, state, b, "doc_id", "text", capacity=512
+            )
+            out = r if out is None else out.unionByName(r)
+        return out.withColumnRenamed("doc_id", "id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _train_sql(dim: int, lr: float, epochs: int) -> str:
     """Unrolled full-batch-GD oracle for q85 (the ivf-style 'oracle
     mirrors the whole iterative computation' pattern): one CTE trio

@@ -79,6 +79,12 @@ HEADLINE = [
     "q86_dd_span_index_chained",
     "q87_pack_sequence_layout",
     "q88_pack_assembled_windows",
+    "q89_cur_domain_cap",
+    "q90_cur_token_budget",
+    "q91_cur_mixture_sample",
+    "q92_dd_semantic_dedup",
+    "q93_pack_shard_assignment",
+    "q94_pack_incremental_layout",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -1359,3 +1359,86 @@ def maintain_span_index(
         occ.unpersist()
         toks.unpersist()
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    pivots: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-identical
+    pairs WITHIN clusters only — the published recipe for web-scale
+    corpora, where all-pairs cosine is impossible but k-means cells
+    bound the candidate set.
+
+    - cluster assignment: similarity.ivf_assign (per-row argmin over
+      the pivot list compiled into the plan — no shuffle, no UDF, no
+      crossJoin against a centroid table);
+    - default pivots: the embeddings of the n_clusters smallest ids
+      (deterministic and oracle-reproducible; driver state bounded at
+      n_clusters x d exactly like ivf_train). Callers chasing quality
+      pass ivf_train() output instead — assignment is pivot-agnostic;
+    - prune rule: a document is dropped iff SOME same-cluster document
+      with a smaller id has cosine > threshold (keep-lowest-id, the
+      same survivor convention as dedup_clusters) — pair generation is
+      one self-equi-join ON THE CLUSTER ID, so cost is sum(c_i^2) over
+      cluster sizes, never corpus^2. At scale pick n_clusters ~ N/1e4
+      so cells stay bounded; the join inherits AQE skew splitting for
+      a runaway cell.
+
+    Returns (id, cluster_id, keep) for every input row. Zero-norm
+    embeddings produce NULL cosine, which fails the threshold — they
+    are never dropped and never drop others (ANSI-safe, same guard as
+    embedding_near_dup_pairs).
+    """
+    from mel_tnnt_spark.operators.similarity import ivf_assign
+
+    if pivots is None:
+        rows = (
+            emb.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .orderBy("id")
+            .limit(n_clusters)
+            .collect()
+        )
+        pivots = [list(r["v"]) for r in rows]
+    if not pivots:
+        return emb.sparkSession.createDataFrame(
+            [], "id long, cluster_id int, keep boolean"
+        )
+    assigned = ivf_assign(emb, id_col, vec_col, pivots)
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    nrm = lambda side: F.sqrt(
+        F.expr(f"aggregate({side}.v, 0D, (acc, x) -> acc + x * x)")
+    )
+    denom = nrm("a") * nrm("b")
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            F.col("a.centroid") == F.col("b.centroid"),
+        )
+        .where(F.col("b.id") < F.col("a.id"))
+        .withColumn("cosine", F.when(denom > 0, F.round(dot / denom, 6)))
+        .where(F.col("cosine") > threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select("id", F.col("centroid").alias("cluster_id"))
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

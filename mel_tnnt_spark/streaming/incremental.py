@@ -392,3 +392,56 @@ def read_overlap_pair_log(spark: SparkSession, pairs_path: str) -> DataFrame:
         spark.read.option("basePath", pairs_path)
         .parquet(f"{pairs_path}/batch=*")
     )
+
+
+def stream_pack_layout(
+    doc_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    capacity: int = 512,
+    once: bool = True,
+):
+    """Continuous sequence-packing layout: every micro-batch of
+    documents is appended to the concatenated-corpus layout via
+    maintain_pack_layout (persisted state = the corpus token total +
+    the applied-batch ledger, O(batch) per batch), with each batch's
+    layout rows landing under `out_path/batch=<content-hash>/` — the
+    streaming leg of the q87 dataloader layout, same two-layer
+    idempotency as stream_excise_spans: applied-batch markers skip
+    re-applies after restarts, and both effects are replay-safe alone
+    (maintain_pack_layout reuses a replayed batch's ORIGINAL base
+    offset without advancing the total; the output directory is
+    content-addressed and staged+renamed). Stream == chained-batch
+    equality is pinned in tests/test_streaming.py."""
+    from mel_tnnt_spark.operators.dedup import content_tag
+    from mel_tnnt_spark.operators.packing import maintain_pack_layout
+
+    def apply(batch_df: DataFrame) -> None:
+        import os
+        import shutil
+
+        batch_df = batch_df.dropna(subset=[id_col])
+        tag = content_tag(
+            batch_df,
+            F.col(id_col),
+            F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+        )
+        out = maintain_pack_layout(
+            batch_df.sparkSession, state_path, batch_df, id_col, text_col,
+            capacity=capacity,
+        )
+        final = f"{out_path}/batch={tag}"
+        staging = f"{out_path}/__staging-{tag}"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    return _replay_protected_stream(
+        doc_stream, state_path, checkpoint_dir, apply, once
+    )

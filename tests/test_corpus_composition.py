@@ -1,0 +1,255 @@
+"""Unit tests for the corpus-composition curation operators
+(curation.py: cap_per_group / token_budget_select / mixture_sample),
+SemDeDup (dedup.semantic_dedup) and balanced shard assignment
+(packing.assign_shards) — the properties the q89-q93 oracles can't
+see: skew-hardened == plain-window equivalence on a mega-group,
+quota shortfall, zero-norm safety, survivor convention, tie-breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mel_tnnt_spark.operators.curation import (
+    cap_per_group,
+    mixture_sample,
+    token_budget_select,
+)
+from mel_tnnt_spark.operators.dedup import semantic_dedup
+from mel_tnnt_spark.operators.packing import assign_shards
+
+
+def _skewed_docs(spark, mega=3000, minor=17):
+    """One pathological mega-group plus small groups — the per-host
+    skew case the salted two-stage rank exists for."""
+    rows = [(i, "mega") for i in range(mega)]
+    rows += [(mega + i, f"g{i % 5}") for i in range(minor * 5)]
+    return spark.createDataFrame(rows, "id long, grp string")
+
+
+def test_cap_per_group_equals_plain_window_on_mega_group(spark):
+    docs = _skewed_docs(spark)
+    got = cap_per_group(docs, "grp", "id", cap=7, n_salts=8).select(
+        "id", "grp", "rank_in_group"
+    )
+    w = Window.partitionBy("grp").orderBy("id")
+    exp = (
+        docs.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # every group capped, mega-group included
+    per = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per["mega"] == 7 and all(v <= 7 for v in per.values())
+
+
+def test_cap_per_group_cap_exceeding_group_keeps_all(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, grp string")
+    got = cap_per_group(docs, "grp", "id", cap=100).collect()
+    assert len(got) == 3
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "grp", "id", cap=0)
+
+
+def test_token_budget_prefix_rule_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w w w"),        # 3 tokens, cum 3  -> kept
+            (2, "a", "w w w w"),      # 4 tokens, cum 7  -> kept
+            (3, "a", "w w"),          # 2 tokens, cum 9  -> dropped (budget 8)
+            (4, "a", ""),             # 0 tokens, cum 9  -> dropped (prefix rule)
+            (5, "b", None),           # NULL text: 0 tokens, cum 0 -> kept
+        ],
+        "id long, grp string, text string",
+    )
+    got = {r["id"]: r for r in token_budget_select(docs, "grp", "id", "text", budget=8).collect()}
+    assert [got[i]["kept"] for i in (1, 2, 3, 4, 5)] == [True, True, False, False, True]
+    assert got[3]["cum_tokens"] == 9 and got[5]["n_tokens"] == 0
+
+
+def test_mixture_sample_quota_shortfall_and_missing_group(spark):
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    rows += [(200 + i, "unlisted") for i in range(10)]
+    docs = spark.createDataFrame(rows, "id long, grp string")
+    got = mixture_sample(docs, "grp", "id", {"big": 0.5, "tiny": 0.5}, total_docs=20)
+    per = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # big fills its quota of 10; tiny is short (3 of 10); unlisted dropped
+    assert per == {"big": 10, "tiny": 3}
+    # deterministic across runs (md5 order, no RNG)
+    again = mixture_sample(docs, "grp", "id", {"big": 0.5, "tiny": 0.5}, total_docs=20)
+    assert sorted(r["id"] for r in got.collect()) == sorted(r["id"] for r in again.collect())
+
+
+def test_mixture_sample_equals_plain_window_on_skew(spark):
+    docs = _skewed_docs(spark, mega=2000, minor=10)
+    shares = {"mega": 0.6, "g0": 0.2, "g3": 0.2}
+    got = mixture_sample(docs, "grp", "id", shares, total_docs=50, n_salts=4)
+    quotas = {g: int(s * 50 + 0.5) for g, s in shares.items()}
+    qdf = spark.createDataFrame(list(quotas.items()), "grp string, quota long")
+    w = Window.partitionBy("grp").orderBy(F.md5(F.col("id").cast("string")), "id")
+    exp = (
+        docs.join(qdf, "grp")
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= F.col("quota"))
+        .select("id", "grp", "rank_in_group", "quota")
+    )
+    assert sorted(map(tuple, got.select("id", "grp", "rank_in_group", "quota").collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_semantic_dedup_keep_lowest_id_zero_norm_safe(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),   # near-dup of 0 -> dropped (0 survives)
+            (2, [-1.0, 0.0]),    # opposite: cosine -1, kept
+            (3, [0.0, 0.0]),     # zero-norm: NULL cosine, never dropped
+            (4, [1.0, 0.0]),     # exact dup of 0 -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["id"]: r["keep"] for r in
+           semantic_dedup(emb, "vec_id", "embedding", n_clusters=1,
+                          threshold=0.9, pivots=[[1.0, 0.0]]).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: False}
+
+
+def test_semantic_dedup_empty_input_and_default_pivots(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(empty, "vec_id", "embedding").count() == 0
+    # default pivots derive from the n_clusters smallest ids
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(emb, "vec_id", "embedding", n_clusters=2, threshold=1.1)
+    # threshold > 1: nothing ever dropped, every row assigned a cluster
+    rows = out.collect()
+    assert len(rows) == 6 and all(r["keep"] for r in rows)
+    assert {r["cluster_id"] for r in rows} <= {0, 1}
+
+
+def test_assign_shards_equals_plain_global_rank_with_ties(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, "w " * rng.randint(0, 12)) for i in range(500)],
+        "id long, text string",
+    )
+    got = assign_shards(docs, "id", "text", n_shards=8, n_buckets=16)
+    n_tok = F.size(
+        F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                 lambda t: t != F.lit(""))
+    ).cast("long")
+    exp = (
+        docs.select("id", n_tok.alias("n_tokens"))
+        .withColumn("global_rank",
+                    F.row_number().over(Window.orderBy(F.desc("n_tokens"), F.asc("id"))))
+        .select("id", "n_tokens", "global_rank",
+                F.pmod(F.col("global_rank") - 1, F.lit(8)).alias("shard"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # round-robin: shard doc counts differ by at most 1
+    per = [r["n"] for r in got.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(per) == 8 and max(per) - min(per) <= 1
+
+
+def test_assign_shards_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError):
+        assign_shards(docs, "id", "text", n_shards=0)
+
+
+def test_maintain_pack_layout_chained_equals_scratch_and_replay(spark, tmp_path):
+    from mel_tnnt_spark.operators.packing import (
+        _read_pack_state,
+        maintain_pack_layout,
+        pack_sequences,
+    )
+
+    batches = [
+        [(1, "a b c"), (2, "d e")],
+        [(10, "f g h i j"), (11, "")],
+        [(20, "k l m n o p q r s t u v")],
+    ]
+    state = str(tmp_path / "pstate")
+    chained = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, "id long, text string")
+        chained += [tuple(r) for r in
+                    maintain_pack_layout(spark, state, b, "id", "text", capacity=4).collect()]
+    scratch = [tuple(r) for r in pack_sequences(
+        spark.createDataFrame([r for bb in batches for r in bb], "id long, text string"),
+        "id", "text", capacity=4,
+    ).collect()]
+    assert sorted(chained) == sorted(scratch)
+    total_before = _read_pack_state(state)["total"]
+    assert total_before == sum(
+        len(t.split()) for _, t in (r for bb in batches for r in bb)
+    )
+    # replay batch 2: identical rows, total unchanged
+    b2 = spark.createDataFrame(batches[1], "id long, text string")
+    replayed = [tuple(r) for r in
+                maintain_pack_layout(spark, state, b2, "id", "text", capacity=4).collect()]
+    orig_b2 = [c for c in chained if c[0] in (10, 11)]
+    assert sorted(replayed) == sorted(orig_b2)
+    assert _read_pack_state(state)["total"] == total_before
+
+
+def test_stream_pack_layout_equals_scratch_and_restart_noop(spark, tmp_path):
+    """Streaming packing layout: micro-batched doc arrivals laid out
+    against the persisted offset state equal pack_sequences on the
+    concatenated corpus (ids ordered with arrival; one file per
+    trigger), and a restart over the same source re-applies nothing."""
+    import os
+
+    from mel_tnnt_spark.operators.packing import pack_sequences
+    from mel_tnnt_spark.streaming.incremental import stream_pack_layout
+
+    batches = [
+        [(1, "a b c d e"), (2, "f g")],
+        [(10, "h i j k l m n"), (11, None)],
+        [(20, "o p q")],
+    ]
+    src = str(tmp_path / "psrc")
+    for rows in batches:
+        spark.createDataFrame(rows, "id bigint, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "pstate2")
+    out_path = str(tmp_path / "pout")
+
+    def go():
+        stream = (
+            spark.readStream.schema("id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_pack_layout(
+            stream, state, out_path, str(tmp_path / "pckpt"), capacity=4
+        )
+        q.awaitTermination(180)
+
+    go()
+    got = sorted(
+        tuple(r) for r in spark.read.option("basePath", out_path)
+        .parquet(f"{out_path}/batch=*").drop("batch").collect()
+    )
+    scratch = sorted(tuple(r) for r in pack_sequences(
+        spark.createDataFrame([r for bb in batches for r in bb], "id bigint, text string"),
+        "id", "text", capacity=4,
+    ).collect())
+    assert got == scratch
+
+    before = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    go()  # restart: markers + content-addressed dirs -> no-op
+    after = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    assert after == before

@@ -90,8 +90,9 @@ def test_bucketed_source_dedup_is_shuffle_free(spark):
 
 
 def test_pair_generators_have_no_cartesian(spark):
-    """The gated pair plans (q18 jaccard, q28 embedding graph, q35 LSH)
-    must never contain an all-pairs join — the 100-TB scale guard."""
+    """The gated pair plans (q18 jaccard, q28 embedding graph, q35 LSH,
+    q62 simhash, q92 SemDeDup) must never contain an all-pairs join —
+    the 100-TB scale guard."""
     import __spark_entry__ as e
 
     for name in (
@@ -99,6 +100,7 @@ def test_pair_generators_have_no_cartesian(spark):
         "q28_cc_embedding_graph",
         "q35_dd_lsh_pairs",
         "q62_dd_simhash_pairs",
+        "q92_dd_semantic_dedup",
     ):
         df = e.queries()[name](spark, SF)
         assert plan_flags(df)["cartesian"] == 0, f"{name} plans an all-pairs join"
