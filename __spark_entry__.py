@@ -3190,7 +3190,7 @@ def q91(spark, sf_dir):
     WITH piv AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
              embedding::DOUBLE[] AS pv
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
     a AS (
       SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, p.cidx,
              row_number() OVER (PARTITION BY e.vec_id
@@ -3212,7 +3212,7 @@ def q91(spark, sf_dir):
     """,
 )
 def q92(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023): cluster embeddings to 8
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to 16
     data-derived pivots (per-row argmin compiled into the plan — no
     shuffle, no crossJoin), then drop any vector with a smaller-id
     same-cluster neighbor above cosine 0.25 — near-dup pruning whose
@@ -3223,7 +3223,7 @@ def q92(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", n_clusters=8, threshold=0.25
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.25
     )
 
 
