@@ -3131,9 +3131,9 @@ def q89(spark, sf_dir):
                                       x -> x != ''))::BIGINT AS n_tokens
                FROM documents),
     c AS (SELECT id, lang, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS cum_tokens
+                 (sum(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))::BIGINT AS cum_tokens
           FROM d)
     SELECT id, lang, n_tokens, cum_tokens, cum_tokens <= 2000 AS kept
     FROM c
@@ -3240,7 +3240,7 @@ def q92(spark, sf_dir):
           FROM d)
     SELECT (global_rank - 1) % 8 AS shard,
            count(*) AS n_docs,
-           sum(n_tokens) AS tok_sum,
+           sum(n_tokens)::BIGINT AS tok_sum,
            min(global_rank) AS first_rank
     FROM r GROUP BY 1
     """,
@@ -3321,6 +3321,168 @@ def q94(spark, sf_dir):
             r = maintain_pack_layout(
                 spark, state, b, "doc_id", "text", capacity=512
             )
+            out = r if out is None else out.unionByName(r)
+        return out.withColumnRenamed("doc_id", "id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@_q(
+    "q95_ts_lm_fluency",
+    r"""
+    WITH t AS (SELECT doc_id AS id,
+                      list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                     '\s+'),
+                                  x -> x != '') AS ws
+               FROM documents),
+    bg AS (SELECT id,
+                  unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i + 1])
+                         ELSE []::VARCHAR[] END) AS g
+           FROM t),
+    bc AS (SELECT g, count(*)::BIGINT AS c12 FROM bg GROUP BY 1),
+    cx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12)::BIGINT AS ctx
+           FROM bc GROUP BY 1),
+    vv AS (SELECT count(DISTINCT split_part(g, ' ', -1))::DOUBLE AS v
+           FROM bc),
+    m AS (SELECT bc.g, bc.c12, cx.ctx, vv.v
+          FROM bc JOIN cx ON split_part(bc.g, ' ', 1) = cx.w1 CROSS JOIN vv),
+    sc AS (SELECT bg.id, ln((m.c12 + 1.0) / (m.ctx + m.v)) AS lp
+           FROM bg JOIN m USING (g)),
+    ag AS (SELECT id, count(*)::BIGINT AS n_bigrams,
+                  round(avg(lp), 6) AS avg_logprob
+           FROM sc GROUP BY 1)
+    SELECT t.id, coalesce(ag.n_bigrams, 0) AS n_bigrams, ag.avg_logprob
+    FROM t LEFT JOIN ag USING (id)
+    """,
+)
+def q95(spark, sf_dir):
+    """CCNet-style LM fluency scoring (lm_bigram_scores): every
+    document's mean log-probability under a self-trained add-1 bigram
+    model — the perplexity-filter leg of the curation family
+    (boilerplate/gibberish scores low). Runs the HOT/COLD split path
+    (hot_df=16: Zipf-head bigrams broadcast map-side, cold tail
+    shuffles with per-key fan-in < hot_df by construction) — the
+    oracle computes the unsplit model, so the hash match certifies
+    split == unsplit end-to-end on real data."""
+    from mel_tnnt_spark.operators.textstats import lm_bigram_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_bigram_scores(docs, "doc_id", "text", hot_df=16).withColumnRenamed(
+        "doc_id", "id"
+    )
+
+
+@_q(
+    "q96_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, source, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                ::UBIGINT::DOUBLE + 1.0) / 1152921504606846976.0 AS u
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT id, source, n_chars, round(-ln(u) / n_chars, 6) AS es_key
+    FROM w ORDER BY -ln(u) / n_chars, id LIMIT 60
+    """,
+)
+def q96(spark, sf_dir):
+    """Weighted sampling without replacement (weighted_sample — the
+    Efraimidis-Spirakis A-ES scheme): a 60-document subset sampled
+    proportional to n_chars, deterministically (u from md5(id), no
+    RNG state — the oracle re-derives the exact sample). The k
+    smallest keys come from a global top-k (per-partition heaps +
+    one k-row driver merge), never a global sort."""
+    from mel_tnnt_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=60).select(
+        F.col("doc_id").alias("id"), "source", "n_chars", "es_key"
+    )
+
+
+@_q(
+    "q97_cur_epoch_mixture",
+    r"""
+    WITH tg(grp, target) AS (VALUES ('en', 30000), ('fr', 8000)),
+    d AS (SELECT doc_id AS id, lang,
+                 len(list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x != ''))::BIGINT AS n_tokens
+          FROM documents),
+    g AS (SELECT lang, sum(n_tokens)::BIGINT AS dom FROM d GROUP BY 1),
+    gs AS (SELECT g.lang, tg.target // g.dom AS repeats,
+                  tg.target % g.dom AS rem
+           FROM g JOIN tg ON g.lang = tg.grp WHERE g.dom > 0),
+    fl AS (SELECT d.id, d.lang,
+                  unnest(generate_series(0, gs.repeats - 1)) AS epoch,
+                  d.n_tokens
+           FROM d JOIN gs USING (lang) WHERE gs.repeats >= 1),
+    fr AS (SELECT d.id, d.lang, gs.repeats AS epoch, d.n_tokens,
+                  sum(d.n_tokens) OVER (
+                    PARTITION BY d.lang
+                    ORDER BY md5(CAST(d.id AS VARCHAR)), d.id) AS cum,
+                  gs.rem
+           FROM d JOIN gs USING (lang))
+    SELECT id, lang, epoch, n_tokens FROM fl
+    UNION ALL
+    SELECT id, lang, epoch, n_tokens FROM fr WHERE cum <= rem
+    """,
+)
+def q97(spark, sf_dir):
+    """Epoch-based domain upsampling (epoch_mixture — the LLaMA/GPT
+    recipe: high-value domains repeat for several epochs, the crawl
+    for less than one): English targeted at 30k tokens, French at 8k,
+    each domain emitted repeats = target DIV domain_tokens full
+    epochs plus an md5-ordered fractional epoch spending exactly
+    target MOD domain_tokens. All-integer epoch math, so the oracle
+    reproduces the expansion bit-for-bit."""
+    from mel_tnnt_spark.operators.curation import epoch_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_mixture(
+        docs, "lang", "doc_id", "text", {"en": 30000, "fr": 8000}
+    )
+
+
+@_q(
+    "q98_cur_domain_cap_chained",
+    """
+    SELECT doc_id AS id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+             AS accepted
+    FROM documents
+    """,
+)
+def q98(spark, sf_dir):
+    """Incremental per-host frequency capping (maintain_domain_caps —
+    q89's operator made stateful, the live crawl-frontier rate limit):
+    three consecutive document slices chained through a fresh
+    persisted accepted-log inside the query, every document getting
+    an accept/drop decision against the domains' LIFETIME counts.
+    State is bounded at n_groups*cap rows by the policy itself. The
+    oracle is the from-scratch cap decision over the whole table —
+    chained == scratch is the operator's defining theorem when ids
+    ascend with arrival, so the hash match certifies the maintained
+    path end-to-end."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.curation import maintain_domain_caps
+
+    docs = _t(spark, sf_dir, "documents")
+    cuts = [0, 150, 350, None]
+    state = tempfile.mkdtemp(prefix="q98_cap_state_")
+    try:
+        out = None
+        for lo, hi in zip(cuts, cuts[1:]):
+            cond = F.col("doc_id") >= lo if hi is None else (
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            b = docs.where(cond).select("doc_id", "source")
+            r = maintain_domain_caps(
+                spark, state, b, "source", "doc_id", cap=5
+            ).localCheckpoint()
             out = r if out is None else out.unionByName(r)
         return out.withColumnRenamed("doc_id", "id")
     finally:

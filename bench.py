@@ -85,6 +85,10 @@ HEADLINE = [
     "q92_dd_semantic_dedup",
     "q93_pack_shard_assignment",
     "q94_pack_incremental_layout",
+    "q95_ts_lm_fluency",
+    "q96_weighted_sample",
+    "q97_cur_epoch_mixture",
+    "q98_cur_domain_cap_chained",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

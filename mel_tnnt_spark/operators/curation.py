@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "token_budget_select", "mixture_sample"]
+__all__ = ["cap_per_group", "token_budget_select", "mixture_sample", "epoch_mixture", "maintain_domain_caps"]
 
 
 def _ws_tokens(text_col: str) -> Column:
@@ -177,4 +177,154 @@ def mixture_sample(
     )
     return picked.select(
         "id", F.col("grp").alias(group_col), "rank_in_group", "quota"
+    )
+
+
+def epoch_mixture(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    targets: dict[str, int],
+) -> DataFrame:
+    """Epoch-based domain upsampling (the LLaMA/GPT data-recipe shape:
+    small high-quality domains repeat for several epochs, the crawl
+    sees less than one): given a TOKEN target per group, emit (id,
+    group, epoch, n_tokens) rows where every document appears in
+    epochs 0..repeats-1 in full, plus a FRACTIONAL last epoch filled
+    greedily in deterministic md5 order until the leftover budget is
+    spent.
+
+    All epoch math is INTEGER-exact, so the oracle reproduces it
+    bit-for-bit: repeats = target DIV domain_tokens and the
+    fractional budget = target MOD domain_tokens (no float repeat
+    factors anywhere). Groups absent from `targets`, and degenerate
+    groups with zero total tokens, contribute nothing.
+
+    Scale: the group stats are one aggregate; the epoch explode
+    multiplies rows by `repeats` (bounded by the recipe, typically
+    <= ~5); the fractional fill is the same running-sum window as
+    token_budget_select (one shuffle on the group key)."""
+    from mel_tnnt_spark.session import local_dim
+
+    spark = docs.sparkSession
+    dim = local_dim(
+        spark, sorted(targets.items()), "grp string, target long"
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        _ws_tokens(text_col).alias("n_tokens"),
+    )
+    gstats = (
+        base.groupBy("grp")
+        .agg(F.sum("n_tokens").alias("dom"))
+        .join(F.broadcast(dim), "grp")
+        .where(F.col("dom") > 0)
+        .select(
+            "grp",
+            F.expr("target DIV dom").alias("repeats"),
+            F.pmod(F.col("target"), F.col("dom")).alias("rem"),
+        )
+    )
+    joined = base.join(F.broadcast(gstats), "grp")
+    full = joined.where(F.col("repeats") >= 1).select(
+        "id",
+        "grp",
+        F.explode(F.sequence(F.lit(0), F.col("repeats") - 1)).alias("epoch"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("grp").orderBy(F.md5(F.col("id").cast("string")), "id")
+    frac = (
+        joined.withColumn("_cum", F.sum("n_tokens").over(w))
+        .where(F.col("_cum") <= F.col("rem"))
+        .select("id", "grp", F.col("repeats").cast("long").alias("epoch"), "n_tokens")
+    )
+    return full.unionByName(frac).select(
+        "id", F.col("grp").alias(group_col), "epoch", "n_tokens"
+    )
+
+
+def maintain_domain_caps(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Incremental per-host frequency capping for batch-arriving
+    crawls (cap_per_group made stateful — the live "rate limit each
+    domain" decision a crawl frontier applies): every arriving
+    document is ACCEPTED iff its group's lifetime accepted count,
+    in arrival-then-id order, stays <= cap. Returns (id, group,
+    accepted) for the WHOLE batch (drops are visible, not silent).
+
+    State is the accepted-docs log under
+    `state_path/accepted/batch=<content-hash>/` — and it is BOUNDED
+    BY THE POLICY, not the corpus: each group accepts at most `cap`
+    documents ever, so the whole log holds <= n_groups*cap rows no
+    matter how much crawl flows through. Reading it each batch is
+    O(state), state is O(output cap).
+
+    Idempotency needs NO ledger: the batch's own directory is
+    excluded when computing prior counts (same own-tag anti-join
+    discipline as maintain_span_index), so a replayed batch sees the
+    exact pre-batch state, reproduces the identical decisions, and
+    rewrites an identical content-addressed directory (staged+rename;
+    a crash mid-write leaves only __staging-). Chained == scratch
+    cap_per_group on the union whenever ids ascend with arrival —
+    q98 gates that equivalence."""
+    import os
+    import shutil
+
+    from mel_tnnt_spark.operators.dedup import content_tag
+
+    if cap < 1:
+        raise ValueError(f"maintain_domain_caps: cap must be >= 1, got {cap}")
+    base = batch.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    tag = content_tag(base, F.col("id"), F.col("grp"))
+    log_dir = os.path.join(state_path, "accepted")
+    prior_dirs = [
+        os.path.join(log_dir, d)
+        for d in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
+        if d.startswith("batch=") and d != f"batch={tag}"
+    ]
+    if prior_dirs:
+        prior = (
+            spark.read.parquet(*prior_dirs)
+            .groupBy("grp")
+            .agg(F.count("*").alias("_prior"))
+        )
+    else:
+        prior = None
+    ranked = _salted_exact_rank(base, "grp", ["id"], F.lit(cap), n_salts, "id")
+    if prior is not None:
+        ranked = ranked.join(F.broadcast(prior), "grp", "left").withColumn(
+            "_prior", F.coalesce("_prior", F.lit(0))
+        )
+    else:
+        ranked = ranked.withColumn("_prior", F.lit(0))
+    accepted = ranked.where(
+        F.col("rank_in_group") + F.col("_prior") <= cap
+    ).select("id", "grp")
+    staging = os.path.join(log_dir, f"__staging-{tag}")
+    final = os.path.join(log_dir, f"batch={tag}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    accepted.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+    acc = spark.read.parquet(final).withColumn("accepted", F.lit(True))
+    return (
+        base.join(acc, ["id", "grp"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.coalesce("accepted", F.lit(False)).alias("accepted"),
+        )
     )

@@ -573,3 +573,99 @@ def quality_classifier_apply_micro(
     zd = F.col("zi").cast("double") / F.lit(1e12)
     p = F.lit(0.5) + F.lit(0.5) * (zd / (F.lit(1.0) + F.abs(zd)))
     return zi.select(F.col("id").alias(id_col), p.alias("score"))
+
+
+def lm_bigram_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing_k: float = 1.0,
+    hot_df: int | None = None,
+) -> DataFrame:
+    """CCNet-style language-model fluency scoring (Wenzek et al. 2020
+    use a KenLM 5-gram; this is the same recipe with a self-trained
+    add-k bigram model, fully relational): score every document by the
+    mean log-probability of its bigram stream under the corpus's own
+    bigram statistics — boilerplate/gibberish scores low, fluent text
+    high, and the score feeds the curation filters exactly like
+    quality_score does. P(w2|w1) = (c(w1 w2)+k) / (ctx(w1)+k*V) with
+    ctx the context count and V the next-word vocabulary size.
+
+    Returns (id, n_bigrams, avg_logprob) for every input row;
+    documents with fewer than two tokens keep n_bigrams=0 and a NULL
+    score (no silent drop).
+
+    Shape: ONE pass builds the bigram stream; the model is two
+    aggregates over it (bigram counts; context counts folded onto the
+    count table, so the STREAM joins one table on one key); scoring is
+    that single equi-join plus a per-doc aggregate. No UDFs.
+
+    Scale: the stream->model join is the classic Zipf-skew join — the
+    head bigram ("of the") hits every partition. `hot_df` splits the
+    model: bigrams with corpus count >= hot_df join MAP-SIDE via
+    broadcast (the Zipf head is by definition few distinct keys
+    covering most of the stream), the cold tail shuffles — and a cold
+    key occurs < hot_df times in the stream by construction (the model
+    is self-trained, so corpus count == stream occurrences), which
+    bounds every cold join partition's per-key fan-in. Outputs are
+    identical with or without the split (test-pinned), mirroring the
+    hot-gram discipline of excise_duplicate_spans."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_w"),
+    )
+    stream = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bc = stream.groupBy("g").agg(F.count("*").alias("c12"))
+    w1 = F.substring_index(F.col("g"), " ", 1)
+    ctx = bc.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("ctx"))
+    vocab = bc.select(
+        F.countDistinct(F.substring_index(F.col("g"), " ", -1)).alias("v")
+    )
+    model = (
+        bc.join(ctx, w1 == ctx["w1"])
+        .join(F.broadcast(vocab), F.lit(True))  # 1-row scalar attach
+        .select("g", "c12", "ctx", "v")
+    )
+    lp = F.log(
+        (F.col("c12") + F.lit(smoothing_k))
+        / (F.col("ctx") + F.lit(smoothing_k) * F.col("v"))
+    )
+    if hot_df is not None:
+        hot = model.where(F.col("c12") >= hot_df)
+        s1 = stream.join(F.broadcast(hot), "g", "left")
+        scored = s1.where(F.col("c12").isNotNull()).unionByName(
+            s1.where(F.col("c12").isNull())
+            .select("id", "g")
+            .join(model.where(F.col("c12") < hot_df), "g")
+        )
+    else:
+        scored = stream.join(model, "g")
+    ag = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(lp), 6).alias("avg_logprob"),
+    )
+    return (
+        toks.select("id")
+        .join(ag, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -445,3 +445,52 @@ def stream_pack_layout(
     return _replay_protected_stream(
         doc_stream, state_path, checkpoint_dir, apply, once
     )
+
+
+def stream_domain_caps(
+    doc_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    id_col: str = "id",
+    cap: int = 10,
+    once: bool = True,
+):
+    """Continuous per-host frequency capping: every micro-batch of
+    arriving documents gets an accept/drop decision against the
+    persisted accepted-log via maintain_domain_caps (state bounded at
+    n_groups*cap rows BY THE POLICY regardless of crawl volume), with
+    each batch's decisions landing under `out_path/batch=<hash>/`.
+    Same two-layer idempotency as the other maintained streams:
+    applied-batch markers skip re-applies, and both effects are
+    replay-safe alone (the operator excludes its own content-addressed
+    log dir when computing prior counts; the decision write is
+    content-addressed and staged+renamed)."""
+    from mel_tnnt_spark.operators.curation import maintain_domain_caps
+    from mel_tnnt_spark.operators.dedup import content_tag
+
+    def apply(batch_df: DataFrame) -> None:
+        import os
+        import shutil
+
+        batch_df = batch_df.dropna(subset=[id_col])
+        tag = content_tag(
+            batch_df, F.col(id_col), F.coalesce(F.col(group_col), F.lit(""))
+        )
+        out = maintain_domain_caps(
+            batch_df.sparkSession, state_path, batch_df, group_col, id_col,
+            cap=cap,
+        )
+        final = f"{out_path}/batch={tag}"
+        staging = f"{out_path}/__staging-{tag}"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    return _replay_protected_stream(
+        doc_stream, state_path, checkpoint_dir, apply, once
+    )

@@ -253,3 +253,199 @@ def test_stream_pack_layout_equals_scratch_and_restart_noop(spark, tmp_path):
         for d in os.listdir(out_path)
     }
     assert after == before
+
+
+def test_lm_bigram_scores_closed_form(spark):
+    from math import log
+
+    from mel_tnnt_spark.operators.textstats import lm_bigram_scores
+
+    # corpus bigrams: "a b" x2 (docs 1, 2), "b a" x1 (doc 2)
+    # ctx(a)=2, ctx(b)=1, V = |{b, a}| = 2, k=1:
+    #   P(b|a) = (2+1)/(2+2) = 0.75 ; P(a|b) = (1+1)/(1+2) = 2/3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "solo"), (4, None)],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in lm_bigram_scores(docs, "id", "text").collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_logprob"] - round(log(0.75), 6)) < 1e-9
+    assert got[2]["n_bigrams"] == 2
+    assert abs(got[2]["avg_logprob"] - round((log(0.75) + log(2 / 3)) / 2, 6)) < 1e-9
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logprob"] is None
+    assert got[4]["n_bigrams"] == 0 and got[4]["avg_logprob"] is None
+
+
+def test_lm_bigram_scores_hot_cold_split_equals_unsplit(spark):
+    import random
+
+    from mel_tnnt_spark.operators.textstats import lm_bigram_scores
+
+    rng = random.Random(11)
+    vocab = "the of a to spark query join data".split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 25)))) for i in range(300)],
+        "id long, text string",
+    )
+    plain = sorted(map(tuple, lm_bigram_scores(docs, "id", "text").collect()))
+    for hot_df in (1, 5, 10**9):  # all-hot, mixed, all-cold
+        split = sorted(map(tuple, lm_bigram_scores(docs, "id", "text", hot_df=hot_df).collect()))
+        assert split == plain, f"hot_df={hot_df} diverges from unsplit"
+
+
+def test_weighted_sample_properties(spark):
+    from mel_tnnt_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, None), (4, 0.0), (5, -2.0), (6, 100.0)],
+        "id long, w double",
+    )
+    # k >= n: every positive-weight row, never null/zero/negative
+    all_pos = weighted_sample(docs, "id", "w", k=100)
+    assert sorted(r["id"] for r in all_pos.collect()) == [1, 2, 6]
+    assert weighted_sample(docs, "id", "w", k=0).count() == 0
+    with pytest.raises(ValueError):
+        weighted_sample(docs, "id", "w", k=-1)
+    # scale invariance: multiplying all weights by a constant keeps
+    # the SAMPLE (keys rescale by 1/c, order preserved)
+    big = spark.createDataFrame(
+        [(i, float((i * 37) % 11 + 1)) for i in range(400)], "id long, w double"
+    )
+    s1 = sorted(r["id"] for r in weighted_sample(big, "id", "w", k=50).collect())
+    scaled = big.withColumn("w", F.col("w") * 1000.0)
+    s2 = sorted(r["id"] for r in weighted_sample(scaled, "id", "w", k=50).collect())
+    assert s1 == s2
+    # partitioning invariance
+    s3 = sorted(r["id"] for r in weighted_sample(big.repartition(13), "id", "w", k=50).collect())
+    assert s1 == s3
+    # weight-proportionality sanity: the heaviest-weight stratum is
+    # overrepresented relative to its population share
+    strat = spark.createDataFrame(
+        [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1000)], "id long, w double"
+    )
+    got = weighted_sample(strat, "id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r["id"] % 10 == 0)
+    assert heavy > 30  # 10% of the population, >30% of the sample
+
+
+def test_epoch_mixture_integer_epoch_math(spark):
+    from mel_tnnt_spark.operators.curation import epoch_mixture
+
+    # group "a": 3 docs x 4 tokens = 12 dom tokens, target 30
+    #   -> repeats = 2 (epochs 0,1 for all), rem = 6 -> fractional
+    #      epoch 2 holds the first md5-ordered docs while cum <= 6
+    # group "b": dom 5, target 3 -> repeats 0, rem 3 -> only a
+    #      fractional epoch 0 (docs while cum <= 3)
+    # group "z": zero tokens -> dropped; group "c": not targeted
+    docs = spark.createDataFrame(
+        [(1, "a", "w w w w"), (2, "a", "w w w w"), (3, "a", "w w w w"),
+         (10, "b", "w w w w w"), (11, "b", ""),
+         (20, "z", ""), (30, "c", "w w")],
+        "id long, grp string, text string",
+    )
+    got = epoch_mixture(docs, "grp", "id", "text", {"a": 30, "b": 3, "z": 9})
+    rows = got.collect()
+    a_full = [(r["id"], r["epoch"]) for r in rows if r["grp"] == "a" and r["epoch"] < 2]
+    assert sorted(a_full) == [(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
+    a_frac = [r for r in rows if r["grp"] == "a" and r["epoch"] == 2]
+    assert len(a_frac) == 1 and a_frac[0]["n_tokens"] == 4  # 4 <= 6 < 8
+    # b: no full epochs; rem 3 < 5 so only the md5-first doc IF it is
+    # the empty one (0 tokens <= 3); doc 10 (5 tokens) can only appear
+    # if ordered first AND 5 <= 3 — never
+    b_rows = [(r["id"], r["epoch"]) for r in rows if r["grp"] == "b"]
+    assert all(e == 0 for _, e in b_rows) and (10, 0) not in b_rows
+    assert not [r for r in rows if r["grp"] in ("z", "c")]
+    # token accounting: emitted tokens per group == repeats*dom + spent rem
+    a_tok = sum(r["n_tokens"] for r in rows if r["grp"] == "a")
+    assert a_tok == 2 * 12 + 4
+
+
+def test_maintain_domain_caps_chained_replay_and_bounded_state(spark, tmp_path):
+    import os
+
+    from mel_tnnt_spark.operators.curation import cap_per_group, maintain_domain_caps
+
+    state = str(tmp_path / "capstate")
+    batches = [
+        [(1, "a"), (2, "a"), (3, "b")],
+        [(10, "a"), (11, "a"), (12, "b")],
+        [(20, "a"), (21, "b"), (22, "c")],
+    ]
+    decisions = {}
+    for rows in batches:
+        b = spark.createDataFrame(rows, "id long, grp string")
+        out = maintain_domain_caps(spark, state, b, "grp", "id", cap=3).collect()
+        decisions.update({r["id"]: r["accepted"] for r in out})
+    union = spark.createDataFrame(
+        [r for bb in batches for r in bb], "id long, grp string"
+    )
+    scratch_kept = {r["id"] for r in cap_per_group(union, "grp", "id", cap=3).collect()}
+    assert {i for i, a in decisions.items() if a} == scratch_kept
+    # a: 1,2,10 accepted (11, 20 over cap); b: all 3; c: 22
+    assert decisions[11] is False and decisions[20] is False
+    # bounded state: the log never exceeds n_groups * cap rows
+    log = spark.read.parquet(str(tmp_path / "capstate" / "accepted" / "batch=*"))
+    assert log.count() == len(scratch_kept) <= 3 * 3
+    # replay batch 2: identical decisions, log unchanged
+    b2 = spark.createDataFrame(batches[1], "id long, grp string")
+    replayed = {r["id"]: r["accepted"]
+                for r in maintain_domain_caps(spark, state, b2, "grp", "id", cap=3).collect()}
+    assert replayed == {i: decisions[i] for i in (10, 11, 12)}
+    assert spark.read.parquet(str(tmp_path / "capstate" / "accepted" / "batch=*")).count() == len(scratch_kept)
+    with pytest.raises(ValueError):
+        maintain_domain_caps(spark, state, b2, "grp", "id", cap=0)
+
+
+def test_stream_domain_caps_equals_scratch_and_restart_noop(spark, tmp_path):
+    import os
+
+    from mel_tnnt_spark.operators.curation import cap_per_group
+    from mel_tnnt_spark.streaming.incremental import stream_domain_caps
+
+    batches = [
+        [(1, "web"), (2, "web"), (3, "wiki")],
+        [(10, "web"), (11, "wiki"), (12, "wiki")],
+        [(20, "web"), (21, "wiki"), (22, "code")],
+    ]
+    src = str(tmp_path / "capsrc")
+    for rows in batches:
+        spark.createDataFrame(rows, "id bigint, source string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "capstate2")
+    out_path = str(tmp_path / "capout")
+
+    def go():
+        stream = (
+            spark.readStream.schema("id bigint, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_domain_caps(
+            stream, state, out_path, str(tmp_path / "capckpt"),
+            group_col="source", cap=2,
+        )
+        q.awaitTermination(180)
+
+    go()
+    got = {
+        r["id"]: r["accepted"]
+        for r in spark.read.option("basePath", out_path)
+        .parquet(f"{out_path}/batch=*").drop("batch").collect()
+    }
+    union = spark.createDataFrame(
+        [r for bb in batches for r in bb], "id bigint, source string"
+    )
+    scratch = {r["id"] for r in cap_per_group(union, "source", "id", cap=2).collect()}
+    assert {i for i, a in got.items() if a} == scratch and len(got) == 9
+
+    before = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    go()
+    after = {
+        d: sorted(os.listdir(os.path.join(out_path, d)))
+        for d in os.listdir(out_path)
+    }
+    assert after == before
