@@ -3768,6 +3768,135 @@ def q83(spark, sf_dir):
     ).withColumnRenamed("doc_id", "id")
 
 
+@_q(
+    "q99_weighted_sample_chained",
+    """
+    WITH pool AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS w
+                  FROM documents),
+    k AS (SELECT id, w,
+                 (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                    ::UBIGINT::DOUBLE + 1.0) / 1152921504606846976.0 AS u
+          FROM pool WHERE w IS NOT NULL AND w > 0)
+    SELECT id, w, round(-ln(u) / w, 6) AS es_key
+    FROM k ORDER BY -ln(u) / w, id LIMIT 60
+    """,
+)
+def q99(spark, sf_dir):
+    """Incremental weighted sampling without replacement
+    (maintain_weighted_sample): three consecutive document slices
+    folded into a persisted 60-row A-ES reservoir. The
+    Efraimidis-Spirakis key depends only on (id, weight) — md5-derived
+    uniform, no RNG state — so the top-k is a MERGEABLE summary and
+    chained == scratch holds with NO arrival-order caveat (stronger
+    than the id-ascending theorems of q94/q98). The oracle is the
+    from-scratch A-ES sample over the whole table, so the hash match
+    certifies the maintained path end-to-end."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.sampling import maintain_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    cuts = [0, 150, 350, None]
+    state = tempfile.mkdtemp(prefix="q99_wsample_state_")
+    try:
+        out = None
+        for lo, hi in zip(cuts, cuts[1:]):
+            cond = F.col("doc_id") >= lo if hi is None else (
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            b = docs.where(cond).select("doc_id", "n_chars")
+            out = maintain_weighted_sample(
+                spark, state, b, "doc_id", "n_chars", k=60
+            )
+        return out
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@_q(
+    "q100_cur_top_fraction",
+    """
+    WITH d AS (SELECT doc_id AS id, n_chars FROM documents),
+    n AS (SELECT count(*)::BIGINT AS n FROM d),
+    r AS (SELECT id, n_chars,
+                 row_number() OVER (
+                   ORDER BY CAST(n_chars AS DOUBLE) DESC NULLS LAST, id)
+                   AS global_rank
+          FROM d)
+    SELECT r.id, r.n_chars, r.global_rank,
+           CAST(floor(n.n * 0.25) AS BIGINT) AS cutoff
+    FROM r CROSS JOIN n
+    WHERE r.global_rank <= CAST(floor(n.n * 0.25) AS BIGINT)
+    """,
+)
+def q100(spark, sf_dir):
+    """Quantile-threshold curation filter (top_fraction): keep the
+    best 25% of the corpus by score — rank-exact (global_rank <=
+    floor(0.25 * n), ties by id), not interpolated-quantile, so it is
+    deterministic and engine-portable. The engine computes the global
+    rank with a two-level score-range-bucketed scan (intra-bucket
+    row_number + descending bucket prefix counts — never a
+    single-partition global window); the oracle IS that
+    single-partition window, so the hash match certifies
+    bucketed == global exactly, including NULLS LAST."""
+    from mel_tnnt_spark.operators.curation import top_fraction
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    return top_fraction(docs, "n_chars", "id", fraction=0.25, n_buckets=64)
+
+
+@_q(
+    "q101_s2_profile_columns",
+    """
+    WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents)
+    SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+           count(CASE WHEN doc_id IS NULL THEN 1 END)::BIGINT AS n_nulls,
+           count(DISTINCT doc_id)::BIGINT AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_repr,
+           CAST(max(doc_id) AS VARCHAR) AS max_repr
+    FROM d
+    UNION ALL
+    SELECT 'lang', count(*)::BIGINT,
+           count(CASE WHEN lang IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT lang)::BIGINT,
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM d
+    UNION ALL
+    SELECT 'source', count(*)::BIGINT,
+           count(CASE WHEN source IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT source)::BIGINT,
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM d
+    UNION ALL
+    SELECT 'n_chars', count(*)::BIGINT,
+           count(CASE WHEN n_chars IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT n_chars)::BIGINT,
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM d
+    """,
+)
+def q101(spark, sf_dir):
+    """One-pass dataset profiler (profile_columns — the S2 structure
+    scan generalized to arbitrary tables): per column (n_rows,
+    n_nulls, n_distinct, min/max as strings), computed by ONE
+    aggregate over one scan (every stat is a map-side partial
+    aggregate) and unpivoted from the 1-row result — no per-column
+    scans. The first thing a curation run does to a new 100 TB
+    delivery. Profiled columns are the documents table's
+    non-text/non-float ones so min/max string renderings are
+    engine-portable (the float-format caveat is the operator's
+    documented contract)."""
+    from mel_tnnt_spark.operators.metadata import profile_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return profile_columns(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-5 certify-on-change rotation): the
 # driver's correctness harness evaluates only the FIRST 50 registered

@@ -328,3 +328,71 @@ def maintain_domain_caps(
             F.coalesce("accepted", F.lit(False)).alias("accepted"),
         )
     )
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    fraction: float,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Keep the top `fraction` of rows by score (ties by id) — the
+    quantile-threshold filter every published curation recipe ends
+    with ("keep the best 30% by LM/classifier score"), made
+    rank-exact instead of interpolated-quantile so it is
+    deterministic and engine-portable: keep global_rank <=
+    floor(fraction * n).
+
+    Scale: the global rank by (score DESC, id ASC) uses the same
+    TWO-LEVEL scan as packing.assign_shards, bucketing by SCORE RANGE
+    (bounds from a tiny min/max aggregate; every row in a
+    higher-score bucket outranks every row in a lower one, so
+    intra-bucket row_number + descending prefix counts == the exact
+    global rank) — never a single-partition global window. NULL
+    scores sort last and are kept only if the fraction reaches them.
+    Emits `global_rank` and `cutoff` for auditability."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"top_fraction: fraction must be in [0, 1], got {fraction}")
+    base = df.withColumn("_s", F.col(score_col).cast("double"))
+    # bounds over FINITE scores only (min/max skip NULLs); NULL scores
+    # and the degenerate all-equal / all-null corpora land in bucket 0
+    bounds = base.agg(
+        F.min("_s").alias("lo"),
+        F.max("_s").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    bucketed = base.join(F.broadcast(bounds), F.lit(True)).withColumn(
+        "_b",
+        F.coalesce(
+            F.when(F.col("_s").isNull() | (F.col("hi") == F.col("lo")), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("_s") - F.col("lo")) / span),
+                    F.lit(n_buckets - 1),
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    # Spark desc() is NULLS LAST, matching the oracle's explicit
+    # DESC NULLS LAST — null scores always rank below every finite one
+    intra = Window.partitionBy("_b").orderBy(F.desc("_s"), F.asc(id_col))
+    with_intra = bucketed.withColumn("_rn", F.row_number().over(intra))
+    totals = bucketed.groupBy("_b").agg(F.count("*").alias("_cnt"))
+    prefix = totals.select(
+        "_b",
+        (F.sum("_cnt").over(Window.orderBy(F.desc("_b"))) - F.col("_cnt")).alias(
+            "_prefix"
+        ),
+    )
+    rank = F.col("_prefix") + F.col("_rn")
+    cutoff = F.floor(F.col("n") * F.lit(fraction))
+    return (
+        with_intra.join(F.broadcast(prefix), "_b")
+        .withColumn("global_rank", rank)
+        .withColumn("cutoff", cutoff)
+        .where(F.col("global_rank") <= F.col("cutoff"))
+        .drop("_s", "_b", "_rn", "_prefix", "lo", "hi", "n")
+    )

@@ -138,3 +138,45 @@ def mel_stage(src: DataFrame) -> DataFrame:
     """Full MEL metadata stage: general metadata -> processable filter ->
     latest-commit dedup -> text analysis."""
     return with_text_analysis(latest_commit_only(filter_processable(with_general_metadata(src))))
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass dataset profiler: for every column, (column, n_rows,
+    n_nulls, n_distinct, min_repr, max_repr) — the generalization of
+    the reference's structure scan (code/NLP_NER_API's general-
+    metadata summaries) to arbitrary tables, and the first thing a
+    curation run does to a new 100 TB delivery (null explosions,
+    cardinality blowups, truncated value ranges all show up here
+    before any operator runs).
+
+    Shape: ONE aggregate computes every column's stats in a single
+    scan (count/count-distinct/min/max are all map-side partial
+    aggregates), then the 1-row result unpivots driver-side into one
+    row per column via an n_columns-element stack — no per-column
+    scans, no second pass. min/max are emitted as strings so mixed
+    column types share one output schema (the profiler contract, not
+    a cast in the data path)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_repr"),
+                F.col(f"_max_{c}").alias("max_repr"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

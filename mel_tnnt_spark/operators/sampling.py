@@ -79,3 +79,73 @@ def weighted_sample(
         .withColumn("es_key", F.round(F.col("_k"), 6))
         .drop("_k")
     )
+
+
+def maintain_weighted_sample(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Incremental weighted sampling without replacement: fold each
+    arriving batch into a persisted k-row A-ES reservoir. Because the
+    Efraimidis-Spirakis key depends only on (id, weight) — md5-derived
+    uniform, no RNG state — the top-k is a MERGEABLE summary:
+    top_k(state u batch) == top_k(everything seen), so the maintained
+    sample equals weighted_sample() over the full history EXACTLY,
+    with NO arrival-order caveat at all (stronger than the
+    id-ascending theorems of the other maintained operators; q99
+    gates chained == scratch through the from-scratch oracle).
+
+    State is (id, weight) under `state_path/v=<n>/` — at most k rows,
+    re-keyed on every fold (k + |batch| rows of key math, trivial).
+    Folds are naturally idempotent: a replayed batch's rows either
+    already sit in the reservoir or lost to keys that still beat them
+    — a set-union top-k cannot double-count (identical rows dedup by
+    id before selection). Crash safety: each fold writes version n+1
+    staged-then-renamed with the last version retained, so a crash
+    mid-write leaves v=n intact and the replay recreates v=n+1
+    identically."""
+    import os
+    import shutil
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        out = []
+        for d in os.listdir(state_path):
+            if d.startswith("v=") and not d.startswith("__"):
+                try:
+                    out.append(int(d[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    vs = _versions()
+    fresh = batch.select(
+        F.col(id_col).alias("id"), F.col(weight_col).cast("double").alias("w")
+    )
+    if vs:
+        state = spark.read.parquet(os.path.join(state_path, f"v={vs[-1]}"))
+        pool = state.unionByName(fresh)
+    else:
+        pool = fresh
+    # deterministic per-id dedup (max weight) — dropDuplicates picks an
+    # arbitrary row and would break replay determinism if the same id
+    # ever re-arrived with a different weight
+    pool = pool.groupBy("id").agg(F.max("w").alias("w"))
+    new = weighted_sample(pool, "id", "w", k).select("id", "w", "es_key")
+    nxt = (vs[-1] + 1) if vs else 1
+    staging = os.path.join(state_path, f"__staging-v{nxt}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    new.select("id", "w").write.mode("overwrite").parquet(staging)
+    final = os.path.join(state_path, f"v={nxt}")
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+    for old in vs[:-1]:
+        shutil.rmtree(os.path.join(state_path, f"v={old}"), ignore_errors=True)
+    return new.localCheckpoint()

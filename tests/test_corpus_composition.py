@@ -449,3 +449,83 @@ def test_stream_domain_caps_equals_scratch_and_restart_noop(spark, tmp_path):
         for d in os.listdir(out_path)
     }
     assert after == before
+
+
+def test_top_fraction_equals_plain_global_rank(spark):
+    import random
+
+    from mel_tnnt_spark.operators.curation import top_fraction
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(-5, 5) if i % 7 else None) for i in range(400)]
+    docs = spark.createDataFrame(rows, "id long, score double")
+    got = top_fraction(docs, "score", "id", fraction=0.3, n_buckets=16)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    exp = (
+        docs.withColumn("global_rank", F.row_number().over(w))
+        .withColumn("cutoff", F.lit(120))
+        .where(F.col("global_rank") <= 120)
+    )
+    assert sorted(map(tuple, got.select("id", "score", "global_rank", "cutoff").collect())) == \
+        sorted(map(tuple, exp.select("id", "score", "global_rank", "cutoff").collect()))
+    # degenerate corpora: all-equal scores, all-null scores, tiny n
+    same = spark.createDataFrame([(i, 1.0) for i in range(10)], "id long, score double")
+    assert sorted(r["id"] for r in top_fraction(same, "score", "id", 0.5).collect()) == list(range(5))
+    nulls = spark.createDataFrame([(i, None) for i in range(4)], "id long, score double")
+    assert sorted(r["id"] for r in top_fraction(nulls, "score", "id", 0.5).collect()) == [0, 1]
+    assert top_fraction(same, "score", "id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        top_fraction(same, "score", "id", 1.5)
+
+
+def test_profile_columns_one_pass_stats(spark):
+    from mel_tnnt_spark.operators.metadata import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 2.5), (4, "b", None)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (2, 2)
+    assert got["id"]["min_repr"] == "1" and got["id"]["max_repr"] == "4"
+    assert got["v"]["min_repr"] == "1.5" and got["v"]["max_repr"] == "2.5"
+    # column subset
+    sub = profile_columns(df, ["id"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "id"
+
+
+def test_maintain_weighted_sample_chained_equals_scratch_any_order(spark, tmp_path):
+    import random
+
+    from mel_tnnt_spark.operators.sampling import (
+        maintain_weighted_sample,
+        weighted_sample,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, float((i * 13) % 9 + 1)) for i in range(300)]
+    rng.shuffle(rows)  # NO id-order caveat: A-ES top-k is mergeable
+    slices = [rows[:100], rows[100:220], rows[220:]]
+    state = str(tmp_path / "wstate")
+    out = None
+    for sl in slices:
+        b = spark.createDataFrame(sl, "id long, w double")
+        out = maintain_weighted_sample(spark, state, b, "id", "w", k=40)
+    scratch = weighted_sample(
+        spark.createDataFrame(rows, "id long, w double"), "id", "w", k=40
+    ).select("id", F.col("w"), "es_key")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, scratch.collect()))
+    # replay the middle batch: reservoir unchanged
+    b2 = spark.createDataFrame(slices[1], "id long, w double")
+    replayed = maintain_weighted_sample(spark, state, b2, "id", "w", k=40)
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, out.collect()))
+    # state bounded at k rows, old versions pruned
+    import os
+
+    vdirs = sorted(os.listdir(state))
+    vdirs = [d for d in vdirs if d.startswith("v=")]
+    assert len(vdirs) <= 2  # latest + one crash-safety predecessor
+    assert spark.read.parquet(os.path.join(state, vdirs[-1])).count() <= 40
