@@ -89,6 +89,9 @@ HEADLINE = [
     "q96_weighted_sample",
     "q97_cur_epoch_mixture",
     "q98_cur_domain_cap_chained",
+    "q99_weighted_sample_chained",
+    "q100_cur_top_fraction",
+    "q101_s2_profile_columns",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -248,6 +248,9 @@ FUZZ_QUERIES = [
     "q96_weighted_sample",
     "q97_cur_epoch_mixture",
     "q98_cur_domain_cap_chained",
+    "q99_weighted_sample_chained",
+    "q100_cur_top_fraction",
+    "q101_s2_profile_columns",
 ]
 
 

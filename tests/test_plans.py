@@ -149,7 +149,7 @@ def test_rotation_keeps_uncertified_queries_in_driver_window():
         "driver's 50-slot window — split the rotation across rounds"
     )
     assert set(e.oracle_sql()) == set(names), "every query needs an oracle"
-    assert all(re.fullmatch(r"q\d{2}_\w+", n) for n in names)
+    assert all(re.fullmatch(r"q\d{2,3}_\w+", n) for n in names)
     assert len(set(names)) == len(names)
 
 
