@@ -3897,6 +3897,374 @@ def q101(spark, sf_dir):
     return profile_columns(docs)
 
 
+@_q(
+    "q102_kg_bgp_match",
+    """
+    WITH t AS (
+      SELECT 'order:' || o_orderkey AS subj, 'placedBy' AS pred,
+             'cust:' || o_custkey AS obj FROM orders
+      UNION ALL
+      SELECT 'cust:' || c_custkey, 'inNation', 'nation:' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 'supp:' || s_suppkey, 'inNation', 'nation:' || s_nationkey
+      FROM supplier
+      UNION ALL
+      SELECT 'order:' || l_orderkey, 'suppliedBy', 'supp:' || l_suppkey
+      FROM lineitem
+    )
+    SELECT p1.subj AS o, p1.obj AS c, p3.obj AS s, p2.obj AS n
+    FROM t p1
+    JOIN t p2 ON p2.pred = 'inNation' AND p2.subj = p1.obj
+    JOIN t p3 ON p3.pred = 'suppliedBy' AND p3.subj = p1.subj
+    JOIN t p4 ON p4.pred = 'inNation' AND p4.subj = p3.obj
+             AND p4.obj = p2.obj
+    WHERE p1.pred = 'placedBy'
+    """,
+)
+def q102(spark, sf_dir):
+    """SPARQL basic-graph-pattern matching (bgp_match) over a triples
+    table — the KG read path (reference: the SPARQL queries MEL-TNNT
+    issues against Virtuoso, code/MEL/__init__.py:2626-2670), as a
+    pure DataFrame plan: each pattern is a filtered projection of the
+    triples scan (literal pred = partition-pruned on the
+    pred-partitioned layout), patterns join on shared variables,
+    most-bound first, AQE sizing each join. The pattern is the
+    local-supplier CYCLE (?o placedBy ?c . ?c inNation ?n .
+    ?o suppliedBy ?s . ?s inNation ?n) over triples derived from the
+    TPC-H tables; bag semantics — the oracle is the literal
+    four-way self-join."""
+    from mel_tnnt_spark.operators.graph_query import bgp_match
+
+    def _pfx(tag, col):
+        return F.concat(F.lit(tag), F.col(col).cast("string"))
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    triples = (
+        orders.select(
+            _pfx("order:", "o_orderkey").alias("subj"),
+            F.lit("placedBy").alias("pred"),
+            _pfx("cust:", "o_custkey").alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                _pfx("cust:", "c_custkey").alias("subj"),
+                F.lit("inNation").alias("pred"),
+                _pfx("nation:", "c_nationkey").alias("obj"),
+            )
+        )
+        .unionByName(
+            supp.select(
+                _pfx("supp:", "s_suppkey").alias("subj"),
+                F.lit("inNation").alias("pred"),
+                _pfx("nation:", "s_nationkey").alias("obj"),
+            )
+        )
+        .unionByName(
+            li.select(
+                _pfx("order:", "l_orderkey").alias("subj"),
+                F.lit("suppliedBy").alias("pred"),
+                _pfx("supp:", "l_suppkey").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?o", "placedBy", "?c"),
+            ("?c", "inNation", "?n"),
+            ("?o", "suppliedBy", "?s"),
+            ("?s", "inNation", "?n"),
+        ],
+    ).select("o", "c", "s", "n")
+
+
+@_q(
+    "q103_kg_transitive_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS child, (doc_id - 1) // 3 AS parent
+      FROM documents WHERE doc_id >= 1),
+    a AS (
+      SELECT child AS node, parent AS ancestor, 1::BIGINT AS depth FROM e
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM a JOIN e ON a.ancestor = e.child)
+    SELECT node, ancestor, depth FROM a
+    """,
+)
+def q103(spark, sf_dir):
+    """Transitive closure with exact path length (transitive_closure)
+    — the tnnt:partOf hierarchy flatten (doc -> folder -> repo -> org
+    chains as one row per (item, container-at-any-level); reference:
+    the partOf triples of code/MEL/__init__.py:2626-2670). The engine
+    runs iterative DOUBLING (P <- P u P.P, localCheckpoint per round):
+    a depth-d hierarchy closes in ceil(log2 d) self-joins, not d — the
+    reachability twin of components.py's pointer jumping. The oracle
+    is DuckDB's native WITH RECURSIVE (depth-at-a-time semi-naive) —
+    an INDEPENDENT evaluation strategy, so the hash match certifies
+    the doubling algebra, not a mirrored computation. Edge set: the
+    ternary-parent tree (doc_id -> (doc_id-1) div 3)."""
+    from mel_tnnt_spark.operators.graph_query import transitive_closure
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.where(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"),
+        F.expr("(doc_id - 1) div 3").alias("parent"),
+    )
+    return transitive_closure(edges, "child", "parent", max_depth=64)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled micro-integer PageRank oracle (the q85 'oracle mirrors
+    the iterative computation' pattern): damping 17/20, ranks in
+    1e-12 units, all-integer ops — bit-identical across engines."""
+    head = """
+    WITH e AS (
+      SELECT 'cust:' || o_custkey AS src, 'order:' || o_orderkey AS dst
+      FROM orders
+      UNION
+      SELECT 'order:' || l_orderkey, 'supp:' || l_suppkey FROM lineitem),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1000000000000::BIGINT AS rank FROM nodes)"""
+    body = []
+    for k in range(1, iters + 1):
+        body.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             (150000000000 + coalesce(s.inflow, 0) * 17 // 20)::BIGINT
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS inflow
+        FROM e JOIN r{k - 1} r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s USING (node))""")
+    return (
+        head + "," + ",".join(body)
+        + f"\n    SELECT node, rank AS rank_micro FROM r{iters}"
+    )
+
+
+@_q("q104_kg_pagerank", _pagerank_sql(3))
+def q104(spark, sf_dir):
+    """PageRank in EXACT micro-integer arithmetic (pagerank_micro):
+    damping = the rational 17/20, ranks in 1e-12 units, contributions
+    floor-divided — every op is int64, so iterates are bit-identical
+    across engines/shuffle orders and the oracle unrolls the SAME 3
+    iterations (q85 numerics discipline applied to a graph loop).
+    Graph: cust -> order -> supplier from the TPC-H tables (suppliers
+    are dangling sinks — the standard leak simplification, mirrored).
+    One groupBy(dst) shuffle per iteration; degree dim computed
+    once."""
+    from mel_tnnt_spark.operators.graph_query import pagerank_micro
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("src"),
+                F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    return pagerank_micro(edges, "src", "dst", iterations=3)
+
+
+@_q(
+    "q105_kg_triangle_count",
+    """
+    WITH r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+               FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM r),
+    e AS (
+      SELECT LEAST(id, (id + 1) % n) AS lo, GREATEST(id, (id + 1) % n) AS hi
+      FROM r CROSS JOIN nn
+      UNION
+      SELECT LEAST(id, (id + 2) % n), GREATEST(id, (id + 2) % n)
+      FROM r CROSS JOIN nn),
+    tri AS (
+      SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+    SELECT node, count(*)::BIGINT AS n_triangles
+    FROM (SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+    GROUP BY node
+    """,
+)
+def q105(spark, sf_dir):
+    """Triangle counting via degree-ordered orientation
+    (triangle_count, Suri & Vassilvitskii 2011): orient each edge
+    low-(degree, id) -> high, count wedges at the low vertex, close
+    against the canonical edge set — each triangle counted exactly
+    once and wedge fan-out bounded O(sqrt(m)) (a crawl-graph star
+    costs sqrt-bounded wedges, not degree^2). Graph: the dense-id ring
+    (i -> i+1, i -> i+2 mod n) over documents (row_number dense ids,
+    the q81 discipline) — every node sits in exactly 3 triangles,
+    wrap-around included. The oracle enumerates u<v<w triangles by the
+    generic three-way canonical join — an independent formulation, so
+    the match certifies the orientation algebra."""
+    from pyspark.sql import Window
+
+    from mel_tnnt_spark.operators.graph_query import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id")
+    )
+    nn = r.agg(F.count(F.lit(1)).alias("n"))
+    w = r.join(F.broadcast(nn), F.lit(True))
+    edges = (
+        w.select(
+            F.col("id").alias("a"), ((F.col("id") + 1) % F.col("n")).alias("b")
+        )
+        .unionByName(
+            w.select(
+                F.col("id").alias("a"),
+                ((F.col("id") + 2) % F.col("n")).alias("b"),
+            )
+        )
+    )
+    return triangle_count(edges, "a", "b")
+
+
+@_q(
+    "q106_kg_closure_chained",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS child, (doc_id - 1) // 3 AS parent
+      FROM documents WHERE doc_id >= 1),
+    a AS (
+      SELECT child AS node, parent AS ancestor, 1::BIGINT AS depth FROM e
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM a JOIN e ON a.ancestor = e.child)
+    SELECT node, ancestor, depth FROM a
+    """,
+)
+def q106(spark, sf_dir):
+    """Incremental transitive-closure maintenance
+    (maintain_transitive_closure): the partOf flatten for a crawl that
+    discovers containment edges batch by batch — three ARBITRARY
+    slices of the ternary-tree edge set folded into a persisted
+    closure, per-batch work proportional to the DELTA closure (the
+    N <- N u N.C u C.N u N.N alternation loop; the stored closure is
+    never re-derived). No arrival-order caveat: closure is
+    order-insensitive (test-pinned on shuffled DAG batches). The
+    oracle is the from-scratch WITH RECURSIVE over the whole edge set
+    — chained == scratch is the defining theorem, certified by the
+    hash match end-to-end."""
+    import shutil
+    import tempfile
+
+    from mel_tnnt_spark.operators.graph_query import maintain_transitive_closure
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.where(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"),
+        F.expr("(doc_id - 1) div 3").alias("parent"),
+    )
+    # slice by child mod 3 — interleaved, NOT contiguous: exercises the
+    # any-order theorem (a child can arrive before its parent's edge)
+    state = tempfile.mkdtemp(prefix="q106_closure_state_")
+    try:
+        out = None
+        for part in range(3):
+            b = edges.where(F.col("child") % 3 == part)
+            out = maintain_transitive_closure(
+                spark, state, b, "child", "parent", max_depth=64
+            )
+        return out
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _walks_sql(walk_length: int) -> str:
+    """Unrolled deterministic-walk oracle: identical md5 step choice
+    per (start, step, cur), one CTE per step."""
+    head = """
+    WITH r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+               FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM r),
+    e AS (SELECT id AS src, (id + 1) % n AS dst FROM r CROSS JOIN nn
+          UNION ALL
+          SELECT id, (id + 2) % n FROM r CROSS JOIN nn),
+    adj AS (SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                     AS idx
+            FROM e),
+    deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM adj GROUP BY 1),
+    w0 AS (SELECT node AS start, 0 AS step, node FROM (
+             SELECT src AS node FROM e UNION SELECT dst FROM e))"""
+    body = []
+    for k in range(1, walk_length + 1):
+        body.append(f"""
+    w{k} AS (
+      SELECT w.start, {k} AS step, a.dst AS node
+      FROM w{k - 1} w
+      JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.idx = (('0x' || substr(md5(w.start || '|' || {k} || '|'
+                                        || w.node), 1, 15))
+                      ::UBIGINT::BIGINT) % d.outdeg)""")
+    tail = "\n    ".join(
+        f"SELECT start, step, node FROM w{k}" + (" UNION ALL" if k < walk_length else "")
+        for k in range(walk_length + 1)
+    )
+    return head + "," + ",".join(body) + "\n    " + tail
+
+
+@_q("q107_kg_random_walks", _walks_sql(5))
+def q107(spark, sf_dir):
+    """DeepWalk-style random-walk corpus generation
+    (deterministic_walks, Perozzi et al. 2014): one walk per node,
+    5 steps, over the dense-id ring graph (outdeg 2 everywhere) —
+    walks are the "sentences" a skip-gram graph embedding trains on,
+    and the md5-derived step choice (H(start, step, cur) mod outdeg,
+    the weighted_sample determinism discipline) makes the corpus
+    bit-reproducible on any engine: the oracle unrolls the identical
+    5 steps. Each step is one (cur, idx) two-column equi-join probing
+    exactly ONE neighbor per walk — no per-neighbor fan-out, frontier
+    only shrinks."""
+    from pyspark.sql import Window
+
+    from mel_tnnt_spark.operators.graph_query import deterministic_walks
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id")
+    )
+    nn = r.agg(F.count(F.lit(1)).alias("n"))
+    w = r.join(F.broadcast(nn), F.lit(True))
+    edges = (
+        w.select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % F.col("n")).alias("dst")
+        )
+        .unionByName(
+            w.select(
+                F.col("id").alias("src"),
+                ((F.col("id") + 2) % F.col("n")).alias("dst"),
+            )
+        )
+    )
+    return deterministic_walks(edges, "src", "dst", walk_length=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-5 certify-on-change rotation): the
 # driver's correctness harness evaluates only the FIRST 50 registered
@@ -3916,7 +4284,12 @@ def q101(spark, sf_dir):
 #       against the marker commit's __spark_entry__.py;
 #   (c) stable certified queries.
 # Queries pushed past slot 50 keep their existing green rows; the
-# policy is documented in COVERAGE.md. The derivation is best-effort:
+# policy is documented in COVERAGE.md. The retest tier is ordered
+# OLDEST certifying round first, so when a churny round re-tiers more
+# certified queries than the window holds, the spill past slot 50 is
+# the least-stale rows (newest green), each still green in the
+# committed full-register CORRECTNESS_LOCAL artifact, and they lead
+# the retest tier next round. The derivation is best-effort:
 # any git/parse failure degrades to "nothing touched" (tier (a) still
 # leads), never to an import error in the driver.
 
@@ -4174,7 +4547,19 @@ def _rotated(names):
         _TOUCHED_CACHE.append(_touched_since_certification())
     touched = _TOUCHED_CACHE[0]
     fresh = [n for n in names if _cert_round(n) is None]
-    retest = [n for n in names if _cert_round(n) and n in touched]
+    # retest tier ordered OLDEST certifying round first: when
+    # fresh+retest outgrow the 50-slot driver window (a churny round
+    # touching shared modules re-tiers many certified queries), the
+    # spill is the LEAST-stale query — its green row is the newest in
+    # the tier, and the committed CORRECTNESS_LOCAL artifact (full
+    # register, current code) is the compensating control until the
+    # next round's window picks it up first.
+    # sorted() is stable: within a certifying round, registration
+    # order is preserved
+    retest = sorted(
+        (n for n in names if _cert_round(n) and n in touched),
+        key=_cert_round,
+    )
     stable = [n for n in names if _cert_round(n) and n not in touched]
     return fresh + retest + stable
 

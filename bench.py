@@ -92,6 +92,12 @@ HEADLINE = [
     "q99_weighted_sample_chained",
     "q100_cur_top_fraction",
     "q101_s2_profile_columns",
+    "q102_kg_bgp_match",
+    "q103_kg_transitive_closure",
+    "q104_kg_pagerank",
+    "q105_kg_triangle_count",
+    "q106_kg_closure_chained",
+    "q107_kg_random_walks",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

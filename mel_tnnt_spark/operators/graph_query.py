@@ -1,0 +1,550 @@
+"""Graph-side query operators over the materialized (subj, pred, obj)
+triples table — the read path of the KG the pipeline builds (reference:
+the SPARQL queries MEL-TNNT issues against its Virtuoso store,
+code/MEL/__init__.py:2626-2670 and the KG-Access query endpoints in
+code/NLP_NER_API; the rebuild materializes triples as partitioned
+parquet per operators/triples.py, so graph reads become DataFrame
+plans instead of a SPARQL engine).
+
+Four operators, all pure DataFrame (zero UDFs), all oracle-gated:
+
+- `bgp_match` — SPARQL basic-graph-pattern matching: each (s, p, o)
+  pattern with literals/variables becomes a filtered projection of the
+  triples scan (literal `pred` hits the partition-pruned scan), and
+  patterns join on their shared variables. The join ORDER is chosen by
+  a deterministic selectivity heuristic (most-bound patterns first),
+  after which Catalyst/AQE picks broadcast vs shuffle per join at
+  runtime — the 100 TB posture is "prune hard, then let the optimizer
+  place the joins".
+- `transitive_closure` — directed reachability with exact path length
+  over an acyclic edge set (the tnnt:partOf hierarchy flatten):
+  iterative DOUBLING (P <- P u P.P), so a depth-d hierarchy closes in
+  ceil(log2 d) joins, not d — the components.py pointer-jumping
+  argument applied to reachability. localCheckpoint per round caps
+  the lineage exactly like components.connected_components.
+- `pagerank_micro` — PageRank with EXACT integer arithmetic: ranks are
+  micro-units (1e12 == rank 1.0), the damping factor is the rational
+  17/20, and every per-iteration op is integer div/sum — so the result
+  is bit-identical on any engine and the DuckDB oracle can unroll the
+  same iterations (the q85 classifier-train numerics discipline
+  applied to a graph loop). Per iteration: one groupBy(dst) shuffle;
+  out-degrees and the node dim are computed once.
+- `triangle_count` — per-node triangle participation via DEGREE-ORDERED
+  orientation (Suri & Vassilvitskii 2011): orient every undirected
+  edge from its lower-(degree, id) endpoint to the higher one, count
+  wedges at the low node, close them against the canonical edge set.
+  Each triangle has exactly ONE node with out-degree 2 in this
+  orientation, so it is counted exactly once, and the wedge fan-out
+  per node is bounded by O(sqrt(m)) instead of the max degree — the
+  difference between a star-graph blowup and a linear pass at crawl
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VAR_PREFIX = "?"
+
+
+def _pattern_legs(patterns):
+    """Validate patterns and compute (bound-literal count, index) order:
+    most-selective (most literals) first, original order as tie-break —
+    deterministic, so plans and oracles agree."""
+    if not patterns:
+        raise ValueError("bgp_match: need at least one (s, p, o) pattern")
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (
+            -sum(1 for v in patterns[i] if not str(v).startswith(VAR_PREFIX)),
+            i,
+        ),
+    )
+    return order
+
+
+def bgp_match(
+    triples: DataFrame, patterns: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Match a SPARQL-style basic graph pattern against a
+    (subj, pred, obj) triples DataFrame. Each pattern element is either
+    a literal value or a variable ("?name"); the result has one column
+    per distinct variable, bag semantics (duplicates preserved —
+    exactly what the equivalent SQL join returns, so the oracle is the
+    join itself).
+
+    Scale shape: each pattern is one filtered projection of the
+    triples scan — a literal pred reaches the parquet scan as a
+    partition filter on the pred-partitioned layout
+    (operators/triples.py write layout), literal subj/obj push down as
+    data filters. Patterns join on shared variables, most-bound
+    pattern first (deterministic heuristic); AQE then sizes each join
+    (broadcast for selective legs) at runtime. Disconnected patterns
+    (no shared variable with what came before, after the reorder) are
+    rejected rather than silently cross-joined."""
+    legs = []
+    for s, p, o in patterns:
+        leg = triples
+        proj: dict[str, F.Column] = {}
+        for pos, val in zip(("subj", "pred", "obj"), (s, p, o)):
+            sval = str(val)
+            if sval.startswith(VAR_PREFIX):
+                name = sval[1:]
+                if not name:
+                    raise ValueError(f"bgp_match: bare '?' in pattern {(s, p, o)}")
+                if name in proj:
+                    # repeated variable inside one pattern: equality filter
+                    leg = leg.where(F.col(pos) == proj[name])
+                else:
+                    proj[name] = F.col(pos)
+            else:
+                leg = leg.where(F.col(pos) == F.lit(val))
+        if not proj:
+            raise ValueError(
+                f"bgp_match: pattern {(s, p, o)} binds no variable"
+            )
+        legs.append(leg.select(*[c.alias(n) for n, c in proj.items()]))
+
+    out = None
+    for i in _pattern_legs(patterns):
+        leg = legs[i]
+        if out is None:
+            out = leg
+            continue
+        shared = sorted(set(out.columns) & set(leg.columns))
+        if not shared:
+            raise ValueError(
+                "bgp_match: disconnected pattern group (no shared variable) — "
+                "run the groups as separate matches instead of a cross product"
+            )
+        out = out.join(leg, shared)
+    return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_depth: int = 1024,
+) -> DataFrame:
+    """All (node, ancestor, depth) reachability pairs over a directed
+    ACYCLIC edge set (child -> parent), depth = exact path length.
+    The partOf-hierarchy flatten: fs path -> folder -> repo -> org
+    chains become one row per (item, container-at-any-level).
+
+    Iterative doubling: P1 = E; P_{2k} = P_k u (P_k . P_k). A depth-d
+    hierarchy converges in ceil(log2 d) self-joins — the reachability
+    twin of components.py's pointer jumping (a 4000-deep chain needs 12
+    rounds, not 4000). On an acyclic input every (node, ancestor) pair
+    has a UNIQUE path, so the union needs only distinct(), no min();
+    a cycle would diverge, hence the max_depth guard raises rather
+    than looping forever. localCheckpoint per round truncates lineage
+    (the components.py discipline); the closure's output size is the
+    inherent O(n * depth) of the answer itself."""
+    paths = (
+        edges.select(
+            F.col(src_col).alias("node"),
+            F.col(dst_col).alias("ancestor"),
+            F.lit(1).cast("long").alias("depth"),
+        )
+        .where(F.col("node").isNotNull() & F.col("ancestor").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = 1  # paths currently holds all depths <= reach
+    n = paths.count()
+    while reach < max_depth:
+        grown = (
+            paths.alias("a")
+            .join(
+                paths.select(
+                    F.col("node").alias("_mid"),
+                    F.col("ancestor").alias("_anc2"),
+                    F.col("depth").alias("_d2"),
+                ).alias("b"),
+                F.col("a.ancestor") == F.col("_mid"),
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("_anc2").alias("ancestor"),
+                (F.col("a.depth") + F.col("_d2")).alias("depth"),
+            )
+        )
+        new_paths = paths.unionByName(grown).distinct().localCheckpoint(eager=True)
+        new_n = new_paths.count()
+        paths = new_paths
+        if new_n == n:
+            return paths
+        n = new_n
+        reach *= 2
+    # still growing past max_depth: cycle or deeper than promised
+    raise ValueError(
+        f"transitive_closure: still growing past max_depth={max_depth} — "
+        "cyclic input or raise max_depth"
+    )
+
+
+def maintain_transitive_closure(
+    spark,
+    state_path: str,
+    edge_batch: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_depth: int = 1024,
+) -> DataFrame:
+    """Incremental transitive-closure maintenance: fold an arriving
+    edge batch into a persisted (node, ancestor, depth) closure —
+    the live form of the partOf flatten for a crawl that discovers
+    containment edges batch by batch. Returns the full updated
+    closure.
+
+    Per-batch work is proportional to the DELTA closure, not the
+    graph: with C the stored closure and N0 the batch edges, iterate
+
+        N_{k+1} = N_k  u  N_k.C  u  C.N_k  u  N_k.N_k   (minus C)
+
+    to fixpoint — every new path decomposes into old-closure runs
+    alternating with >= 1 new edge, and each round doubles the number
+    of new-edge segments a discovered path can contain, so the loop
+    converges in ceil(log2(new-edge segments)) rounds. Joins are only
+    delta x closure / delta x delta; the stored closure is never
+    re-derived. Acyclic contract as transitive_closure (cycle ->
+    ValueError via max_depth growth guard).
+
+    Idempotent replay for free: a replayed batch's paths are already
+    rows of C, so N0 shrinks to empty and the fold writes an identical
+    closure. State under `state_path/v=<n>/`, staged-then-renamed with
+    the previous version retained (the maintain_weighted_sample crash
+    discipline: a crash mid-write leaves v=n intact; the replay
+    recreates v=n+1 identically)."""
+    import os
+    import shutil
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        out = []
+        for d in os.listdir(state_path):
+            if d.startswith("v=") and not d.startswith("__"):
+                try:
+                    out.append(int(d[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    vs = _versions()
+    fresh = (
+        edge_batch.select(
+            F.col(src_col).alias("node"),
+            F.col(dst_col).alias("ancestor"),
+            F.lit(1).cast("long").alias("depth"),
+        )
+        .where(F.col("node").isNotNull() & F.col("ancestor").isNotNull())
+        .distinct()
+    )
+    if vs:
+        closure = spark.read.parquet(os.path.join(state_path, f"v={vs[-1]}"))
+    else:
+        closure = fresh.limit(0)
+
+    def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
+        # subtract on the FULL (node, ancestor, depth) triple: on a DAG
+        # a pair can be reachable at several depths and the from-scratch
+        # closure keeps every one — dropping by pair would lose the new
+        # depths and break chained == scratch
+        return a.join(
+            b.select("node", "ancestor", "depth", F.lit(True).alias("_in")),
+            ["node", "ancestor", "depth"],
+            "left",
+        ).where(F.col("_in").isNull()).drop("_in")
+
+    def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.alias("x")
+            .join(
+                b.select(
+                    F.col("node").alias("_mid"),
+                    F.col("ancestor").alias("_anc"),
+                    F.col("depth").alias("_d"),
+                ),
+                F.col("x.ancestor") == F.col("_mid"),
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("_anc").alias("ancestor"),
+                (F.col("x.depth") + F.col("_d")).alias("depth"),
+            )
+        )
+
+    delta = _minus(fresh, closure).localCheckpoint(eager=True)
+    n_delta = delta.count()
+    reach = 1
+    while n_delta:
+        grown = (
+            _compose(delta, closure)
+            .unionByName(_compose(closure, delta))
+            .unionByName(_compose(delta, delta))
+            .distinct()
+        )
+        new_delta = (
+            _minus(grown, closure)
+            .unionByName(delta)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = new_delta.count()
+        if new_n == n_delta:
+            break
+        delta, n_delta = new_delta, new_n
+        reach *= 2
+        if reach > max_depth:
+            raise ValueError(
+                "maintain_transitive_closure: delta still growing past "
+                f"max_depth={max_depth} — cyclic input or raise max_depth"
+            )
+    updated = closure.unionByName(delta).distinct().localCheckpoint(eager=True)
+
+    nxt = (vs[-1] + 1) if vs else 1
+    staging = os.path.join(state_path, f"__staging-v{nxt}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    updated.write.mode("overwrite").parquet(staging)
+    final = os.path.join(state_path, f"v={nxt}")
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+    for old in vs[:-1]:
+        shutil.rmtree(os.path.join(state_path, f"v={old}"), ignore_errors=True)
+    return updated
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank in exact micro-integer arithmetic: damping 17/20
+    (=0.85 exactly), ranks in units of 1e-12 starting at 1.0 per node
+    (micro = 10^12), contributions floor-divided by out-degree. Every
+    operation is int64 div/sum, so the fixpoint iterates are
+    BIT-IDENTICAL across engines and shuffle orders — no float-sum
+    order dependence — and the DuckDB oracle unrolls the identical
+    iterations (the q85/q45 'oracle mirrors the whole iterative
+    computation' pattern). Nodes without out-edges leak rank (the
+    standard dangling simplification; documented, mirrored by the
+    oracle).
+
+    Returns (node, rank_micro) for every distinct node. Per iteration
+    exactly ONE wide shuffle (groupBy dst); the degree dim is computed
+    once and the edge list re-used. int64 headroom: sum of all ranks
+    <= n * 1e12, times 17 must stay under 2^63 — fine to ~5e5 nodes at
+    this quantum; drop the quantum one decade per 10x nodes beyond
+    that (the caller owns the trade, documented here rather than
+    hidden)."""
+    if iterations < 0:
+        raise ValueError(f"pagerank_micro: iterations must be >= 0, got {iterations}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    MICRO = 1_000_000_000_000
+    BASE = MICRO * 3 // 20  # (1 - 17/20) * 1.0 in micro-units
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_micro"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE)
+                    + F.expr(
+                        f"coalesce(in_micro, 0L) * 17 div 20"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    walk_length: int,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.
+    2014) with DETERMINISTIC md5-derived step choices — the
+    graph-embedding training-data operator (walks become the
+    "sentences" a skip-gram embedding trains on), reproducible on any
+    engine with no RNG state (the weighted_sample discipline applied
+    to walks).
+
+    One walk starts at EVERY node; at step k from node c the walk
+    moves to the neighbor at index H(start, k, c) mod outdeg(c) in the
+    dst-sorted adjacency, where H is the first 60 bits of
+    md5("start|k|c") — so the oracle can unroll the identical steps.
+    A walk reaching a node with no out-edges stops early (rows simply
+    end). Returns (start, step, node), step 0 = the start node itself.
+
+    Scale shape: the adjacency is ranked ONCE (row_number per src over
+    dst order — a per-key window, bounded by max out-degree); each
+    step is one (cur, idx) TWO-COLUMN equi-join probing exactly one
+    neighbor per live walk (no per-neighbor fan-out), after a
+    broadcastable outdeg attach. walk_length steps = walk_length
+    equi-joins; frontier size only shrinks (dangling exits)."""
+    from pyspark.sql import Window
+
+    if walk_length < 0:
+        raise ValueError(
+            f"deterministic_walks: walk_length must be >= 0, got {walk_length}"
+        )
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    adj = e.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = nodes.select(
+        F.col("node").alias("start"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    ).localCheckpoint(eager=True)
+    frontier = out
+    for k in range(1, walk_length + 1):
+        pick = (
+            frontier.join(deg.withColumnRenamed("src", "node"), "node")
+            .withColumn(
+                "_h",
+                F.expr(
+                    "cast(conv(substr(md5(concat(cast(start as string), '|', "
+                    f"{k}, '|', cast(node as string))), 1, 15), 16, 10) "
+                    "as bigint)"
+                ),
+            )
+            .select(
+                "start",
+                F.col("node").alias("_cur"),
+                F.expr("_h % outdeg").alias("idx"),
+            )
+        )
+        frontier = (
+            pick.join(
+                adj.select(
+                    F.col("src").alias("_cur"), "idx", F.col("dst").alias("node")
+                ),
+                ["_cur", "idx"],
+            )
+            .select("start", F.lit(k).alias("step"), "node")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    given as (a, b) pairs (orientation/duplicates/self-loops cleaned
+    here). Returns (node, n_triangles) for nodes in >= 1 triangle.
+
+    Degree-ordered orientation (Suri & Vassilvitskii 2011, the MapReduce
+    triangle-count bound): orient each edge from its lower-(degree,
+    node) endpoint to the higher one. In that orientation every
+    triangle has exactly ONE vertex with two out-edges, so counting
+    closed wedges (u->v, u->w, {v,w} in E) counts each triangle exactly
+    once — and the wedge generation at each node is C(outdeg, 2) with
+    outdeg bounded by O(sqrt(m)), so a crawl-graph star (one host
+    linked by millions) costs sqrt-bounded wedges instead of
+    degree^2. The closing probe is an equi-join against the canonical
+    edge set on the (least, greatest) key — never a cartesian."""
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .where(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") != F.col("hi"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .unionByName(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        canon.join(deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi")), "hi")
+        .select(
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(
+            oriented.select(
+                F.col("src").alias("src2"), F.col("dst").alias("dst2")
+            ).alias("y"),
+            (F.col("x.src") == F.col("src2")) & (F.col("x.dst") < F.col("dst2")),
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("dst2").alias("w"),
+        )
+    )
+    closed = wedges.join(
+        canon.select(F.col("lo").alias("_clo"), F.col("hi").alias("_chi")),
+        (F.least("v", "w") == F.col("_clo"))
+        & (F.greatest("v", "w") == F.col("_chi")),
+    ).select("u", "v", "w")
+    return (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -494,3 +494,34 @@ def stream_domain_caps(
     return _replay_protected_stream(
         doc_stream, state_path, checkpoint_dir, apply, once
     )
+
+
+def stream_maintain_closure(
+    edge_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    src_col: str = "child",
+    dst_col: str = "parent",
+    max_depth: int = 1024,
+    once: bool = True,
+):
+    """Streaming twin of `maintain_transitive_closure` (q106): each
+    micro-batch of containment edges folds into the persisted
+    (node, ancestor, depth) closure, per-batch work proportional to
+    the delta closure. Two replay layers, like the other maintained
+    tables: the scaffold's applied-batch markers skip re-applies, and
+    the fold itself is idempotent (a replayed batch's paths already
+    sit in the closure, so the delta loop starts empty and rewrites an
+    identical state version). Stream == scratch is pinned in
+    tests/test_streaming.py."""
+    from mel_tnnt_spark.operators.graph_query import maintain_transitive_closure
+
+    def apply(batch_df: DataFrame) -> None:
+        maintain_transitive_closure(
+            batch_df.sparkSession, state_path, batch_df,
+            src_col, dst_col, max_depth=max_depth,
+        )
+
+    return _replay_protected_stream(
+        edge_stream, state_path, checkpoint_dir, apply, once
+    )

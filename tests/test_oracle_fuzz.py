@@ -129,18 +129,25 @@ def fuzz_dir(spark, tmp_path_factory):
         .parquet(f"{base}/orders.parquet")
     )
 
+    # suppliers: a few per nation, plus a nation with none (key 6)
+    supps = [(i, f"Supplier#{i:05d}", i % 6) for i in range(25)]
+    spark.createDataFrame(
+        supps, "s_suppkey bigint, s_name string, s_nationkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/supplier.parquet")
+
     lines = []
     for i in range(900):
         lines.append((rng.randint(0, 299), rng.choice([0.0, 0.5, 1.0, 7.0, 49.5]),
                       rng.choice([0.005, 1.115, 950.0, 0.0]),
                       rng.choice([0.0, 0.05, 0.1]),
                       rng.choice(["A", "N", "R"]), rng.choice(["F", "O"]),
-                      f"1995-0{rng.randint(1, 9)}-1{rng.randint(0, 9)} 00:00:00"))
+                      f"1995-0{rng.randint(1, 9)}-1{rng.randint(0, 9)} 00:00:00",
+                      rng.randint(0, 24)))
     (
         spark.createDataFrame(
             lines,
             "l_orderkey bigint, l_quantity double, l_extendedprice double, l_discount double, "
-            "l_returnflag string, l_linestatus string, l_shipdate string",
+            "l_returnflag string, l_linestatus string, l_shipdate string, l_suppkey bigint",
         )
         .withColumn("l_shipdate", F2.col("l_shipdate").cast("timestamp"))
         .coalesce(1)
@@ -251,6 +258,12 @@ FUZZ_QUERIES = [
     "q99_weighted_sample_chained",
     "q100_cur_top_fraction",
     "q101_s2_profile_columns",
+    "q102_kg_bgp_match",
+    "q103_kg_transitive_closure",
+    "q104_kg_pagerank",
+    "q105_kg_triangle_count",
+    "q106_kg_closure_chained",
+    "q107_kg_random_walks",
 ]
 
 
@@ -276,7 +289,7 @@ def test_fuzz_query_oracle_parity(spark, fuzz_dir, name):
     con = duck_connect(
         fuzz_dir,
         file_glob=True,  # Spark writes parquet DIRECTORIES
-        tables=("documents", "events", "embeddings", "nation", "customer", "orders", "lineitem"),
+        tables=("documents", "events", "embeddings", "nation", "customer", "supplier", "orders", "lineitem"),
     )
     got = _normalize(e.queries()[name](spark, fuzz_dir).toPandas())
     want = _normalize(con.sql(e.oracle_sql()[name]).df())
