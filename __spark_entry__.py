@@ -4265,6 +4265,185 @@ def q107(spark, sf_dir):
     return deterministic_walks(edges, "src", "dst", walk_length=5)
 
 
+@_q(
+    "q108_sim_random_projection",
+    """
+    WITH x AS (SELECT vec_id, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j)
+    SELECT x.vec_id AS id, js.j,
+           sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) *
+               (CASE WHEN (('0x' || substr(md5(x.i || '|' || js.j), 1, 15))
+                             ::UBIGINT::BIGINT) % 2 = 0
+                     THEN 1 ELSE -1 END))::BIGINT AS y_micro
+    FROM x CROSS JOIN js
+    GROUP BY 1, 2
+    """,
+)
+def q108(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (random_projection,
+    Achlioptas 2003 sign matrix): compress every embedding to 4
+    coordinates — the pre-ANN compression step of a 100 TB embedding
+    corpus. Engine-exact by construction: 6-dp inputs make
+    round(x * 1e6) an exact int64, signs derive from md5(i|j) parity,
+    and the projection is an INTEGER sum — no float accumulation
+    order anywhere, so the oracle reproduces it bit-for-bit from the
+    same parquet. Pure codegen (sequence/zip_with/aggregate +
+    out_dim-element explode), zero shuffles, zero UDFs."""
+    from mel_tnnt_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", out_dim=4)
+
+
+@_q(
+    "q109_kg_property_path",
+    """
+    WITH RECURSIVE t AS (
+      SELECT 'doc:' || doc_id AS subj, 'partOf' AS pred,
+             'folder:' || (doc_id // 25) AS obj FROM documents
+      UNION ALL
+      SELECT DISTINCT 'folder:' || (doc_id // 25), 'partOf',
+             'root:' || (doc_id // 125) FROM documents
+      UNION ALL
+      SELECT 'doc:' || doc_id, 'inLang', lang FROM documents),
+    e AS (SELECT subj, obj FROM t WHERE pred = 'partOf'),
+    cl AS (
+      SELECT subj, obj FROM e
+      UNION
+      SELECT cl.subj, e.obj FROM cl JOIN e ON cl.obj = e.subj)
+    SELECT cl.subj AS d, cl.obj AS c, lg.obj AS l
+    FROM cl JOIN (SELECT subj, obj FROM t WHERE pred = 'inLang') lg
+      ON lg.subj = cl.subj
+    """,
+)
+def q109(spark, sf_dir):
+    """SPARQL property-path matching (bgp_match with a "partOf+" leg):
+    the one-or-more containment path every KG hierarchy query needs
+    (docs inside folders inside roots — "everything under this repo at
+    any depth", the reference's partOf chains flattened at query
+    time). The "+"-leg becomes the transitive closure of the
+    pred-filtered scan (iterative doubling, set semantics — SPARQL
+    path semantics), joined with the plain ?d inLang ?l leg on the
+    shared variable. The oracle is DuckDB's native recursive-CTE
+    reachability joined the same way — an independent evaluation
+    strategy for the path leg."""
+    from mel_tnnt_spark.operators.graph_query import bgp_match
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _pfx(tag, col_expr):
+        return F.concat(F.lit(tag), col_expr.cast("string"))
+
+    doc_part = docs.select(
+        _pfx("doc:", F.col("doc_id")).alias("subj"),
+        F.lit("partOf").alias("pred"),
+        _pfx("folder:", F.expr("doc_id div 25")).alias("obj"),
+    )
+    folder_part = docs.select(
+        _pfx("folder:", F.expr("doc_id div 25")).alias("subj"),
+        F.lit("partOf").alias("pred"),
+        _pfx("root:", F.expr("doc_id div 125")).alias("obj"),
+    ).distinct()
+    lang_t = docs.select(
+        _pfx("doc:", F.col("doc_id")).alias("subj"),
+        F.lit("inLang").alias("pred"),
+        F.col("lang").alias("obj"),
+    )
+    triples = doc_part.unionByName(folder_part).unionByName(lang_t)
+    return bgp_match(
+        triples,
+        [("?d", "partOf+", "?c"), ("?d", "inLang", "?l")],
+        max_depth=16,
+    ).select("d", "c", "l")
+
+
+@_q(
+    "q110_kg_bounded_shortest_paths",
+    """
+    WITH RECURSIVE r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1
+                                AS id
+                         FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM r),
+    e AS (SELECT id AS src, (id + 1) % n AS dst FROM r CROSS JOIN nn
+          UNION
+          SELECT id, (id + 7) % n FROM r CROSS JOIN nn),
+    p AS (
+      SELECT src, dst, 1::BIGINT AS dist FROM e
+      UNION
+      SELECT p.src, e.dst, p.dist + 1
+      FROM p JOIN e ON p.dst = e.src WHERE p.dist < 6)
+    SELECT src, dst, min(dist)::BIGINT AS dist FROM p GROUP BY 1, 2
+    """,
+)
+def q110(spark, sf_dir):
+    """Bounded-hop shortest-path distances (shortest_paths): every
+    pair within 6 directed hops on the ring+chord graph (steps +1 and
+    +7 over dense doc ids) — the entity-neighborhood radius query
+    ("everything within k hops") as the MIN-PLUS semiring twin of
+    q103's closure. The engine runs min-plus DOUBLING
+    (ceil(log2 6) = 3 join+min rounds, per-round dist<=6 pruning —
+    lossless by subpath optimality); the oracle is DuckDB's
+    depth-at-a-time recursive UNION with a final min — an independent
+    evaluation strategy, so the hash match certifies the doubling
+    algebra on a CYCLIC graph (no acyclicity crutch)."""
+    from pyspark.sql import Window
+
+    from mel_tnnt_spark.operators.graph_query import shortest_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id")
+    )
+    nn = r.agg(F.count(F.lit(1)).alias("n"))
+    w = r.join(F.broadcast(nn), F.lit(True))
+    edges = (
+        w.select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % F.col("n")).alias("dst")
+        )
+        .unionByName(
+            w.select(
+                F.col("id").alias("src"),
+                ((F.col("id") + 7) % F.col("n")).alias("dst"),
+            )
+        )
+    )
+    return shortest_paths(edges, "src", "dst", max_hops=6)
+
+
+@_q(
+    "q111_s2_exact_quantiles",
+    """
+    WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+               WHERE n_chars IS NOT NULL),
+    n AS (SELECT count(*)::BIGINT AS n FROM d),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rank FROM d),
+    t AS (SELECT q, CAST(floor(q * (n.n - 1)) + 1 AS BIGINT) AS rank
+          FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+            AS qs(q) CROSS JOIN n)
+    SELECT t.q, t.rank, r.v AS value FROM t JOIN r USING (rank)
+    """,
+)
+def q111(spark, sf_dir):
+    """Exact rank-based corpus quantiles (exact_quantiles): the doc-
+    length distribution points (p10/p25/p50/p75/p90/p99) curation
+    thresholds come from — rank-exact ("lower" empirical quantile at
+    global rank floor(q*(n-1))+1), deterministic and engine-portable
+    (no interpolation, no sampled sketch). The engine transposes the
+    q100 two-level VALUE-RANGE-bucketed scan to ascending rank (never
+    a single-partition global window); the oracle IS the single
+    global window, so the hash match certifies bucketed == global."""
+    from mel_tnnt_spark.operators.metadata import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_quantiles(
+        docs, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], n_buckets=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-5 certify-on-change rotation): the
 # driver's correctness harness evaluates only the FIRST 50 registered

@@ -6,7 +6,7 @@ code/NLP_NER_API; the rebuild materializes triples as partitioned
 parquet per operators/triples.py, so graph reads become DataFrame
 plans instead of a SPARQL engine).
 
-Four operators, all pure DataFrame (zero UDFs), all oracle-gated:
+All pure DataFrame (zero UDFs), all oracle-gated:
 
 - `bgp_match` — SPARQL basic-graph-pattern matching: each (s, p, o)
   pattern with literals/variables becomes a filtered projection of the
@@ -38,6 +38,18 @@ Four operators, all pure DataFrame (zero UDFs), all oracle-gated:
   per node is bounded by O(sqrt(m)) instead of the max degree — the
   difference between a star-graph blowup and a linear pass at crawl
   scale.
+- `maintain_transitive_closure` / `read_transitive_closure` — the
+  closure made stateful for batch-arriving edges: O(delta) work and
+  O(delta) LSM seg appends per fold, compact-every-8 (the
+  maintain_overlap_index layout; BENCH.md: late/early 1.05 over 8
+  folds).
+- `shortest_paths` — bounded-hop min-plus doubling (the closure's
+  semiring twin): k-hop neighborhood distances, cycles included.
+- `deterministic_walks` — DeepWalk corpus generation with md5-derived
+  step choices (reproducible on any engine, no RNG state).
+- `bgp_match` also accepts SPARQL property paths: a literal predicate
+  ending in "+" becomes the transitive closure of that predicate's
+  edges (set semantics) before joining.
 """
 
 from __future__ import annotations
@@ -65,7 +77,9 @@ def _pattern_legs(patterns):
 
 
 def bgp_match(
-    triples: DataFrame, patterns: list[tuple[str, str, str]]
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    max_depth: int = 1024,
 ) -> DataFrame:
     """Match a SPARQL-style basic graph pattern against a
     (subj, pred, obj) triples DataFrame. Each pattern element is either
@@ -73,6 +87,12 @@ def bgp_match(
     per distinct variable, bag semantics (duplicates preserved —
     exactly what the equivalent SQL join returns, so the oracle is the
     join itself).
+
+    PROPERTY PATHS: a literal predicate ending in "+" (SPARQL
+    one-or-more, e.g. "partOf+") turns that leg into the TRANSITIVE
+    CLOSURE of the base predicate's edges — iterative doubling over
+    the pred-filtered scan (set semantics for the reachability pairs,
+    matching SPARQL's path semantics), then joined like any other leg.
 
     Scale shape: each pattern is one filtered projection of the
     triples scan — a literal pred reaches the parquet scan as a
@@ -85,9 +105,19 @@ def bgp_match(
     rejected rather than silently cross-joined."""
     legs = []
     for s, p, o in patterns:
-        leg = triples
+        sp = str(p)
+        if not sp.startswith(VAR_PREFIX) and sp.endswith("+") and len(sp) > 1:
+            # p+ leg: reachability pairs of the base predicate
+            base = triples.where(F.col("pred") == F.lit(sp[:-1]))
+            leg = transitive_closure(base, "subj", "obj", max_depth).select(
+                F.col("node").alias("subj"), F.col("ancestor").alias("obj")
+            ).distinct()
+            positions = zip(("subj", "obj"), (s, o))
+        else:
+            leg = triples
+            positions = zip(("subj", "pred", "obj"), (s, p, o))
         proj: dict[str, F.Column] = {}
-        for pos, val in zip(("subj", "pred", "obj"), (s, p, o)):
+        for pos, val in positions:
             sval = str(val)
             if sval.startswith(VAR_PREFIX):
                 name = sval[1:]
@@ -152,9 +182,15 @@ def transitive_closure(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    reach = 1  # paths currently holds all depths <= reach
+    import math
+
+    # after k growth rounds the closure covers every depth <= 2^k, so
+    # an acyclic input of depth <= max_depth must stop growing within
+    # ceil(log2(max_depth)) + 1 rounds; one more growing round means a
+    # cycle or a deeper hierarchy than promised
+    max_rounds = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
     n = paths.count()
-    while reach < max_depth:
+    for _ in range(max_rounds + 1):
         grown = (
             paths.alias("a")
             .join(
@@ -177,12 +213,57 @@ def transitive_closure(
         if new_n == n:
             return paths
         n = new_n
-        reach *= 2
-    # still growing past max_depth: cycle or deeper than promised
     raise ValueError(
         f"transitive_closure: still growing past max_depth={max_depth} — "
         "cyclic input or raise max_depth"
     )
+
+
+def _closure_parts(state_path: str):
+    """(newest base dir or None, ordered seg dirs, next fold number)
+    for the LSM closure layout: `base-v<n>/` holds a compacted
+    closure, `seg-<n>/` holds one fold's delta. Read = newest base u
+    all segs (duplicates from a crash between compaction rename and
+    seg cleanup are absorbed by distinct on read)."""
+    import os
+
+    bases, segs = [], []
+    if os.path.isdir(state_path):
+        for d in os.listdir(state_path):
+            if d.startswith("__"):
+                continue
+            if d.startswith("base-v"):
+                try:
+                    bases.append(int(d[6:]))
+                except ValueError:
+                    pass
+            elif d.startswith("seg-"):
+                try:
+                    segs.append(int(d[4:]))
+                except ValueError:
+                    pass
+    bases.sort()
+    segs.sort()
+    base = f"base-v{bases[-1]}" if bases else None
+    nxt = max(bases[-1:] + segs[-1:] or [0]) + 1
+    return base, [f"seg-{s}" for s in segs if not bases or s > bases[-1]], nxt
+
+
+def read_transitive_closure(spark, state_path: str) -> DataFrame | None:
+    """Current maintained closure: newest compacted base plus the
+    append-log segments since it, distinct (absorbs the
+    compaction-crash duplicate window). None when no state exists."""
+    import os
+
+    base, segs, _ = _closure_parts(state_path)
+    parts = ([base] if base else []) + segs
+    if not parts:
+        return None
+    df = None
+    for p in parts:
+        part = spark.read.parquet(os.path.join(state_path, p))
+        df = part if df is None else df.unionByName(part)
+    return df.distinct()
 
 
 def maintain_transitive_closure(
@@ -192,6 +273,7 @@ def maintain_transitive_closure(
     src_col: str,
     dst_col: str,
     max_depth: int = 1024,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Incremental transitive-closure maintenance: fold an arriving
     edge batch into a persisted (node, ancestor, depth) closure —
@@ -212,28 +294,22 @@ def maintain_transitive_closure(
     re-derived. Acyclic contract as transitive_closure (cycle ->
     ValueError via max_depth growth guard).
 
+    State is LSM-SHAPED like maintain_overlap_index (dedup.py): each
+    fold appends ONLY its delta as `seg-<n>/` (O(delta) write — the
+    graph_bench probe of the v1 rewrite-the-closure layout measured
+    late/early 1.50 from the O(closure) rewrite alone), and every
+    `compact_every` folds the base+segs merge into a new `base-v<n>/`
+    (amortized O(closure / compact_every) per fold). Crash windows:
+    seg and base writes are staged-then-renamed; a crash between the
+    compaction rename and seg cleanup leaves duplicate rows that
+    distinct-on-read absorbs exactly.
+
     Idempotent replay for free: a replayed batch's paths are already
-    rows of C, so N0 shrinks to empty and the fold writes an identical
-    closure. State under `state_path/v=<n>/`, staged-then-renamed with
-    the previous version retained (the maintain_weighted_sample crash
-    discipline: a crash mid-write leaves v=n intact; the replay
-    recreates v=n+1 identically)."""
+    rows of C, so the delta shrinks to empty and the fold writes
+    nothing at all."""
     import os
     import shutil
 
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_path):
-            return []
-        out = []
-        for d in os.listdir(state_path):
-            if d.startswith("v=") and not d.startswith("__"):
-                try:
-                    out.append(int(d[2:]))
-                except ValueError:
-                    pass
-        return sorted(out)
-
-    vs = _versions()
     fresh = (
         edge_batch.select(
             F.col(src_col).alias("node"),
@@ -243,10 +319,16 @@ def maintain_transitive_closure(
         .where(F.col("node").isNotNull() & F.col("ancestor").isNotNull())
         .distinct()
     )
-    if vs:
-        closure = spark.read.parquet(os.path.join(state_path, f"v={vs[-1]}"))
-    else:
-        closure = fresh.limit(0)
+    base, segs, nxt = _closure_parts(state_path)
+    stored = read_transitive_closure(spark, state_path)
+    # pin the view ONCE: the delta loop probes the closure in ~3 joins
+    # per round — without this, every probe re-reads base + segs from
+    # parquet and re-runs the distinct
+    closure = (
+        stored.localCheckpoint(eager=True)
+        if stored is not None
+        else fresh.limit(0)
+    )
 
     def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
         # subtract on the FULL (node, ancestor, depth) triple: on a DAG
@@ -277,9 +359,15 @@ def maintain_transitive_closure(
             )
         )
 
+    import math
+
     delta = _minus(fresh, closure).localCheckpoint(eager=True)
     n_delta = delta.count()
-    reach = 1
+    # same round bound as transitive_closure: each growing round
+    # doubles the number of new-edge segments a discovered path can
+    # contain, so an acyclic fold stabilizes within
+    # ceil(log2(max_depth)) + 1 rounds
+    rounds_left = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
     while n_delta:
         grown = (
             _compose(delta, closure)
@@ -297,25 +385,40 @@ def maintain_transitive_closure(
         if new_n == n_delta:
             break
         delta, n_delta = new_delta, new_n
-        reach *= 2
-        if reach > max_depth:
+        rounds_left -= 1
+        if rounds_left < 0:
             raise ValueError(
                 "maintain_transitive_closure: delta still growing past "
                 f"max_depth={max_depth} — cyclic input or raise max_depth"
             )
-    updated = closure.unionByName(delta).distinct().localCheckpoint(eager=True)
+    if n_delta == 0:
+        # replayed (or fully-known) batch: nothing to write — the
+        # no-op IS the idempotency
+        return closure
 
-    nxt = (vs[-1] + 1) if vs else 1
-    staging = os.path.join(state_path, f"__staging-v{nxt}")
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    updated.write.mode("overwrite").parquet(staging)
-    final = os.path.join(state_path, f"v={nxt}")
-    if os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(staging, final)
-    for old in vs[:-1]:
-        shutil.rmtree(os.path.join(state_path, f"v={old}"), ignore_errors=True)
+    def _staged_write(df: DataFrame, name: str) -> None:
+        staging = os.path.join(state_path, f"__staging-{name}")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").parquet(staging)
+        final = os.path.join(state_path, name)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    os.makedirs(state_path, exist_ok=True)
+    _staged_write(delta, f"seg-{nxt}")
+    # LAZY return: both inputs are checkpointed, and only the caller
+    # who actually consumes the full closure pays for the union —
+    # the fold itself writes O(delta)
+    updated = closure.unionByName(delta)
+    if len(segs) + 1 >= compact_every:
+        # compaction: merge base + segs + this delta into a new base,
+        # THEN drop the absorbed parts — leftover segs have numbers
+        # <= the new base version, so reads exclude them exactly
+        _staged_write(updated.distinct(), f"base-v{nxt}")
+        for d in ([base] if base else []) + segs + [f"seg-{nxt}"]:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
     return updated
 
 
@@ -388,6 +491,67 @@ def pagerank_micro(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded-hop shortest-path distances (src, dst, dist) for every
+    pair reachable within `max_hops` directed hops — the MIN-PLUS
+    semiring twin of transitive_closure (entity-neighborhood radius
+    queries: "everything within k hops of this entity" over the KG).
+
+    Min-plus DOUBLING: D_{2k}(u,v) = min(D_k(u,v),
+    min_w D_k(u,w) + D_k(w,v)), so ceil(log2(max_hops)) join+min
+    rounds cover every path — and pruning to dist <= max_hops each
+    round is lossless (any half of a <= max_hops shortest path is
+    itself a shortest path of <= max_hops by subpath optimality).
+    Cycles need no guard: the pruned state space is finite, the
+    groupBy-min converges. One groupBy(src, dst) shuffle per round,
+    localCheckpoint per round (the components.py discipline)."""
+    if max_hops < 1:
+        raise ValueError(f"shortest_paths: max_hops must be >= 1, got {max_hops}")
+    import math
+
+    d = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = math.ceil(math.log2(max_hops)) if max_hops > 1 else 0
+    for _ in range(rounds):
+        comp = (
+            d.alias("a")
+            .join(
+                d.select(
+                    F.col("src").alias("_mid"),
+                    F.col("dst").alias("_dst2"),
+                    F.col("dist").alias("_d2"),
+                ),
+                F.col("a.dst") == F.col("_mid"),
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("_dst2").alias("dst"),
+                (F.col("a.dist") + F.col("_d2")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionByName(comp)
+            .where(F.col("dist") <= max_hops)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d
 
 
 def deterministic_walks(

@@ -10,7 +10,7 @@ predicates Catalyst can push into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mel_tnnt_spark.config import EXTENSION_MAPPINGS, MIME_TYPES
@@ -180,3 +180,78 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, quantiles: list[float], n_buckets: int = 1024
+) -> DataFrame:
+    """EXACT rank-based quantiles of one column — (q, rank, value) with
+    value = the element at global rank floor(q * (n - 1)) + 1 in
+    ascending order (the "lower" empirical quantile, deterministic and
+    engine-portable; interpolation would reintroduce float averaging).
+    The profiling companion to profile_columns: curation thresholds
+    ("drop below p10 length", "flag above p99 repetition") should come
+    from exact corpus quantiles, not sampled sketches, when one extra
+    pass is affordable.
+
+    Scale shape: the top_fraction two-level scan transposed to
+    ascending order — bucket by VALUE RANGE (bounds from a tiny
+    min/max aggregate), intra-bucket row_number + ascending prefix
+    counts over the n_buckets-row totals frame == the exact global
+    rank; never a single-partition global window. NULLs are excluded
+    (a quantile over NULLs is undefined; profile_columns reports the
+    null count)."""
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"exact_quantiles: quantile {q} outside [0, 1]")
+    if not quantiles:
+        raise ValueError("exact_quantiles: need at least one quantile")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    bounds = base.agg(
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    bucketed = base.join(F.broadcast(bounds), F.lit(True)).withColumn(
+        "_b",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("_v") - F.col("lo")) / span),
+                F.lit(n_buckets - 1),
+            )
+        ),
+    )
+    intra = Window.partitionBy("_b").orderBy(F.asc("_v"))
+    with_rank = bucketed.withColumn("_rn", F.row_number().over(intra))
+    totals = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    prefix = totals.select(
+        "_b",
+        (F.sum("_cnt").over(Window.orderBy(F.asc("_b"))) - F.col("_cnt")).alias(
+            "_prefix"
+        ),
+    )
+    ranked = with_rank.join(F.broadcast(prefix), "_b").select(
+        (F.col("_prefix") + F.col("_rn")).alias("rank"), F.col("_v"), F.col("n")
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                (
+                    F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+                ).alias("rank"),
+            )
+            for q in quantiles
+        ]
+    )
+    tdim = (
+        bounds.select(F.explode(targets).alias("t"))
+        .select("t.q", "t.rank")
+    )
+    return (
+        ranked.join(F.broadcast(tdim), "rank")
+        .select("q", "rank", F.col("_v").alias("value"))
+    )

@@ -214,6 +214,52 @@ def ivf_ann(
     return scored.orderBy(F.desc_nulls_last("cosine"), F.asc(id_col)).limit(k)
 
 
+def random_projection(
+    emb: DataFrame, id_col: str, vec_col: str, out_dim: int
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC sign matrix (Achlioptas 2003: entries in {+1, -1}
+    preserve pairwise cosines in expectation) — the compression step a
+    100 TB embedding corpus runs before ANN indexing (project 1024-d
+    float vectors to out_dim, then bucket/IVF the small vectors).
+
+    Engine-exact by the micro-integer discipline: inputs are 6-dp
+    embeddings, so round(x * 1e6) is an EXACT int64, the sign s_ij
+    derives from md5(i|j) parity (no RNG state), and y_j =
+    sum_i round(x_i * 1e6) * s_ij is an integer sum — no float
+    accumulation order anywhere, so any engine (and any shuffle
+    order) produces bit-identical projections. The unscaled sum is
+    deliberate: downstream cosine is scale-invariant, so the 1/sqrt(k)
+    JL factor is a no-op for similarity search.
+
+    Output (id, j, y_micro) long-form, one row per output coordinate —
+    pure codegen (per-row sequence/zip_with/aggregate), no UDFs, no
+    shuffle at all (explode of an out_dim-element array per row)."""
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, got {out_dim}")
+
+    def y(j: int) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"sequence(0, size({vec_col}) - 1), "
+            "(x, i) -> cast(round(x * 1000000) as bigint) * "
+            "(case when pmod(cast(conv(substr(md5(concat(cast(i as string), "
+            f"'|', '{j}')), 1, 15), 16, 10) as bigint), 2) = 0 "
+            "then 1 else -1 end)), "
+            "0L, (acc, e) -> acc + e)"
+        )
+
+    arr = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), y(j).alias("y_micro"))
+            for j in range(out_dim)
+        ]
+    )
+    return emb.select(F.col(id_col).alias("id"), F.explode(arr).alias("p")).select(
+        "id", "p.j", "p.y_micro"
+    )
+
+
 def query_signature(query_vec: list[float], pivots: list[list[float]]) -> str:
     return "".join(
         "1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in pivots

@@ -529,3 +529,34 @@ def test_maintain_weighted_sample_chained_equals_scratch_any_order(spark, tmp_pa
     vdirs = [d for d in vdirs if d.startswith("v=")]
     assert len(vdirs) <= 2  # latest + one crash-safety predecessor
     assert spark.read.parquet(os.path.join(state, vdirs[-1])).count() <= 40
+
+
+def test_exact_quantiles_matches_sorted_reference(spark):
+    import math
+    import random
+
+    from mel_tnnt_spark.operators.metadata import exact_quantiles
+
+    rng = random.Random(3)
+    vals = [rng.uniform(-10, 10) for _ in range(997)] + [None] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in exact_quantiles(df, "x", qs, n_buckets=32).collect()
+    }
+    s = sorted(v for v in vals if v is not None)
+    want = {
+        q: (math.floor(q * (len(s) - 1)) + 1, s[math.floor(q * (len(s) - 1))])
+        for q in qs
+    }
+    assert got == want
+    # degenerate: all-equal column (single bucket), invalid quantile
+    same = spark.createDataFrame([(1.5,)] * 10, "x double")
+    assert {
+        r["q"]: r["value"] for r in exact_quantiles(same, "x", [0.5]).collect()
+    } == {0.5: 1.5}
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])

@@ -271,15 +271,24 @@ def test_maintain_closure_chained_equals_scratch_any_order(spark, tmp_path):
         for r in transitive_closure(full, "child", "parent").collect()
     }
     assert got == scratch
-    # replay the middle batch: closure unchanged, state still bounded
+    # replay the middle batch: closure unchanged AND nothing written
+    # (empty delta -> no new seg — the no-op is the idempotency)
+    import os
+
+    from mel_tnnt_spark.operators.graph_query import read_transitive_closure
+
+    before_dirs = sorted(os.listdir(state))
     b2 = spark.createDataFrame(slices[1], "child long, parent long")
     replayed = maintain_transitive_closure(spark, state, b2, "child", "parent")
     got2 = {(r["node"], r["ancestor"], r["depth"]) for r in replayed.collect()}
     assert got2 == got
-    import os
-
-    vdirs = [d for d in os.listdir(state) if d.startswith("v=")]
-    assert len(vdirs) <= 2  # latest + crash-safety predecessor
+    assert sorted(os.listdir(state)) == before_dirs
+    # the persisted LSM view reads back the same closure
+    persisted = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in read_transitive_closure(spark, state).collect()
+    }
+    assert persisted == got
 
 
 def test_maintain_closure_multi_depth_pair_kept(spark, tmp_path):
@@ -417,13 +426,11 @@ def test_stream_maintain_closure_equals_scratch_and_restart_noop(spark, tmp_path
         q.awaitTermination(180)
 
     go()
-    vdirs = sorted(
-        (d for d in os.listdir(state) if d.startswith("v=")),
-        key=lambda d: int(d[2:]),
-    )
+    from mel_tnnt_spark.operators.graph_query import read_transitive_closure
+
     got = {
         (r["node"], r["ancestor"], r["depth"])
-        for r in spark.read.parquet(os.path.join(state, vdirs[-1])).collect()
+        for r in read_transitive_closure(spark, state).collect()
     }
     full = spark.createDataFrame(edge_list, "child long, parent long")
     scratch = {
@@ -432,10 +439,216 @@ def test_stream_maintain_closure_equals_scratch_and_restart_noop(spark, tmp_path
     }
     assert got == scratch
     # restart over the same source: markers skip every batch — state
-    # version unchanged
+    # layout unchanged
+    before = sorted(os.listdir(state))
     go()
-    vdirs2 = sorted(
-        (d for d in os.listdir(state) if d.startswith("v=")),
-        key=lambda d: int(d[2:]),
+    assert sorted(os.listdir(state)) == before
+
+
+def _projection_ref(vecs, out_dim):
+    import hashlib
+
+    rows = set()
+    for vid, v in vecs:
+        for j in range(out_dim):
+            y = 0
+            for i, x in enumerate(v):
+                h = int(
+                    hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:15], 16
+                )
+                s = 1 if h % 2 == 0 else -1
+                y += round(float(x) * 1_000_000) * s
+            rows.add((vid, j, y))
+    return rows
+
+
+def test_random_projection_matches_reference_and_is_exact(spark):
+    import numpy as np
+
+    from mel_tnnt_spark.operators.similarity import random_projection
+
+    rng = random.Random(31)
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)]) for i in range(40)
+    ]
+    vecs.append((40, [0.0] * 8))  # zero vector -> all-zero projection
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["id"], r["j"], r["y_micro"])
+        for r in random_projection(emb, "vec_id", "embedding", 4).collect()
+    }
+    # reference must see the FLOAT32-promoted values, like the engine
+    promoted = [(i, [float(np.float32(x)) for x in v]) for i, v in vecs]
+    assert got == _projection_ref(promoted, 4)
+    assert {(40, j, 0) for j in range(4)} <= got
+    with pytest.raises(ValueError):
+        random_projection(emb, "vec_id", "embedding", 0)
+
+
+def test_random_projection_preserves_cosine_ordering(spark):
+    """JL sanity: projected cosine ranks correlate with true cosine —
+    near-duplicate vectors stay near, orthogonal-ish stay far."""
+    import numpy as np
+
+    from mel_tnnt_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(5)
+    base = rng.uniform(-1, 1, 16)
+    vecs = [
+        (0, [round(float(x), 6) for x in base]),
+        (1, [round(float(x + rng.uniform(-0.01, 0.01)), 6) for x in base]),  # near-dup
+        (2, [round(float(x), 6) for x in rng.uniform(-1, 1, 16)]),  # unrelated
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = random_projection(emb, "vec_id", "embedding", 8).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["id"], [0] * 8)[r["j"]] = r["y_micro"]
+
+    def cos(a, b):
+        a, b = np.array(a, dtype=float), np.array(b, dtype=float)
+        return a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assert cos(proj[0], proj[1]) > cos(proj[0], proj[2])
+
+
+def test_maintain_closure_lsm_compaction_and_crash_leftovers(spark, tmp_path):
+    import os
+
+    from mel_tnnt_spark.operators.graph_query import (
+        maintain_transitive_closure,
+        read_transitive_closure,
     )
-    assert vdirs2 == vdirs
+
+    state = str(tmp_path / "lsm")
+    edge_list = [(i, i - 1) for i in range(1, 13)]
+    slices = [edge_list[:4], edge_list[4:8], edge_list[8:]]
+    for sl in slices:
+        b = spark.createDataFrame(sl, "child long, parent long")
+        maintain_transitive_closure(
+            spark, state, b, "child", "parent", compact_every=2
+        )
+    dirs = sorted(os.listdir(state))
+    # fold 2 compacted (base-v2, segs dropped); fold 3 appended seg-3
+    assert [d for d in dirs if d.startswith("base-v")] == ["base-v2"]
+    assert [d for d in dirs if d.startswith("seg-")] == ["seg-3"]
+    want = _closure_ref(edge_list)
+    got = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in read_transitive_closure(spark, state).collect()
+    }
+    assert got == want
+    # compaction crash window: an absorbed seg left on disk after the
+    # base rename (cleanup crashed) — seg numbers <= base version are
+    # excluded on read, so the view is unchanged
+    spark.read.parquet(f"{state}/base-v2").limit(3).write.parquet(
+        f"{state}/seg-2"
+    )
+    got2 = {
+        (r["node"], r["ancestor"], r["depth"])
+        for r in read_transitive_closure(spark, state).collect()
+    }
+    assert got2 == want
+
+
+def test_bgp_property_path_one_or_more(spark):
+    rows = [
+        ("doc:1", "partOf", "folder:a"),
+        ("folder:a", "partOf", "repo:r"),
+        ("doc:2", "partOf", "folder:b"),
+        ("folder:b", "partOf", "repo:r"),
+        ("doc:1", "inLang", "en"),
+        ("doc:2", "inLang", "fr"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # all >=1-hop containment pairs
+    got = {
+        (r["d"], r["c"])
+        for r in bgp_match(t, [("?d", "partOf+", "?c")]).collect()
+    }
+    assert got == {
+        ("doc:1", "folder:a"), ("doc:1", "repo:r"),
+        ("folder:a", "repo:r"),
+        ("doc:2", "folder:b"), ("doc:2", "repo:r"),
+        ("folder:b", "repo:r"),
+    }
+    # path leg joined with a plain leg + literal object filter
+    got2 = {
+        (r["d"], r["l"])
+        for r in bgp_match(
+            t, [("?d", "partOf+", "repo:r"), ("?d", "inLang", "?l")]
+        ).collect()
+    }
+    assert got2 == {("doc:1", "en"), ("doc:2", "fr")}
+
+
+def _bfs_ref(edge_list, max_hops):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in set(edge_list):
+        adj[a].add(b)
+    out = {}
+    nodes = {a for a, _ in edge_list} | {b for _, b in edge_list}
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d >= 1:
+                out[(s, v)] = d
+        # positive distance back to s around a cycle (BFS's dist[s]=0
+        # shortcuts it): min over predecessors of s
+        back = [
+            dist[u] + 1
+            for u in dist
+            if s in adj[u] and dist[u] + 1 <= max_hops
+        ]
+        if back:
+            out[(s, s)] = min(back)
+    return out
+
+
+def test_shortest_paths_matches_bfs_on_cyclic_graph(spark):
+    from mel_tnnt_spark.operators.graph_query import shortest_paths
+
+    rng = random.Random(41)
+    edge_list = list(
+        {
+            (f"n{rng.randint(0, 24)}", f"n{rng.randint(0, 24)}")
+            for _ in range(80)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in shortest_paths(edges, "src", "dst", max_hops=6).collect()
+    }
+    assert got == _bfs_ref(edge_list, 6)
+
+
+def test_shortest_paths_hop_bound_and_ring(spark):
+    from mel_tnnt_spark.operators.graph_query import shortest_paths
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in shortest_paths(ring, "src", "dst", max_hops=4).collect()
+    }
+    # directed 10-ring: exactly hops 1..4 reachable within the bound
+    assert got == {
+        (i, (i + d) % 10): d for i in range(10) for d in range(1, 5)
+    }
+    one = shortest_paths(ring, "src", "dst", max_hops=1)
+    assert one.count() == 10
+    with pytest.raises(ValueError):
+        shortest_paths(ring, "src", "dst", max_hops=0)

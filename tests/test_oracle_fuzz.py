@@ -264,6 +264,10 @@ FUZZ_QUERIES = [
     "q105_kg_triangle_count",
     "q106_kg_closure_chained",
     "q107_kg_random_walks",
+    "q108_sim_random_projection",
+    "q109_kg_property_path",
+    "q110_kg_bounded_shortest_paths",
+    "q111_s2_exact_quantiles",
 ]
 
 
