@@ -4444,6 +4444,79 @@ def q111(spark, sf_dir):
     )
 
 
+@_q(
+    "q112_cur_temperature_mixture",
+    r"""
+    WITH d AS (SELECT lang,
+                      len(list_filter(string_split_regex(coalesce(text, ''),
+                                                         '\s+'),
+                                      x -> x != ''))::BIGINT AS t
+               FROM documents),
+    g AS (SELECT lang, sum(t)::BIGINT AS n_tokens FROM d GROUP BY 1
+          HAVING sum(t) > 0),
+    z AS (SELECT sum(pow(n_tokens, 0.3)) AS z FROM g)
+    SELECT g.lang, g.n_tokens,
+           round(pow(g.n_tokens, 0.3) / z.z, 6) AS weight
+    FROM g CROSS JOIN z
+    """,
+)
+def q112(spark, sf_dir):
+    """Temperature-scaled domain mixture (temperature_weights — the
+    mT5/XLM-R multilingual recipe): p_lang = tokens^0.3 / sum, the
+    alpha<1 upsampling that keeps low-resource languages from
+    drowning in the crawl share. Exactly-reproducible mixture table
+    (shared _ws_tokens tokenization, weight rounded to 6 past libm-pow
+    ulp); feed weight/n_docs into weighted_sample (q96/q99) for the
+    document pick — the composition IS the published recipe. One
+    aggregate + a 1-row total broadcast."""
+    from mel_tnnt_spark.operators.curation import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, "lang", "text", alpha=0.3)
+
+
+@_q(
+    "q113_contrastive_triplets",
+    """
+    WITH b AS (SELECT doc_id AS id, lang AS grp FROM documents),
+    a AS (SELECT id AS anchor_id, grp,
+                 lag(id) OVER (PARTITION BY grp ORDER BY id)
+                   AS positive_id
+          FROM b),
+    an AS (SELECT * FROM a WHERE positive_id IS NOT NULL),
+    dim AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cand_rid,
+                   id AS cand_id, grp AS cand_grp
+            FROM b),
+    n AS (SELECT count(*)::BIGINT AS n FROM b),
+    c AS (SELECT an.anchor_id, an.grp, an.positive_id, offs.off,
+                 (('0x' || substr(md5('neg|' || anchor_id), 1, 15))
+                    ::UBIGINT::BIGINT + offs.off) % n.n AS cand_rid
+          FROM an CROSS JOIN n
+          CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) offs),
+    p AS (SELECT c.anchor_id, c.positive_id,
+                 arg_min(dim.cand_id, c.off) AS negative_id
+          FROM c JOIN dim USING (cand_rid)
+          WHERE dim.cand_grp != c.grp
+          GROUP BY 1, 2)
+    SELECT an.anchor_id, an.positive_id, p.negative_id
+    FROM an LEFT JOIN p USING (anchor_id, positive_id)
+    """,
+)
+def q113(spark, sf_dir):
+    """Contrastive training-triplet mining (contrastive_triplets):
+    (anchor, positive, negative) rows for embedding-model training —
+    in-group predecessor positives (the weak-supervision standard when
+    no near-dup pair exists), md5-derived cross-group negatives
+    advancing through up to 3 candidate ranks (NULL on the
+    all-one-group degenerate corpus). Deterministic end-to-end (no RNG
+    state), so the oracle re-derives the identical triplet table.
+    Bounded 3-fanout candidate equi-join; per-group lag window."""
+    from mel_tnnt_spark.operators.sampling import contrastive_triplets
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_triplets(docs, "doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-5 certify-on-change rotation): the
 # driver's correctness harness evaluates only the FIRST 50 registered

@@ -396,3 +396,50 @@ def top_fraction(
         .where(F.col("global_rank") <= F.col("cutoff"))
         .drop("_s", "_b", "_rn", "_prefix", "lo", "hi", "n")
     )
+
+
+def temperature_weights(
+    df: DataFrame, group_col: str, text_col: str, alpha: float
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the mT5/XLM-R
+    multilingual recipe: sample domain g with probability
+    p_g = c_g^alpha / sum_h c_h^alpha, alpha in (0, 1] — alpha < 1
+    UPSAMPLES small domains relative to raw token share, the standard
+    fix for low-resource languages drowning in the crawl). Returns one
+    row per group: (group, n_tokens, weight), weight rounded to 6 so
+    the value hash cannot trip on last-ulp libm pow divergence (the
+    weighted_sample ln() discipline).
+
+    Feed `weight / n_docs_in_group` into weighted_sample for the
+    document-level pick — composition is the recipe; this operator
+    owns only the exactly-reproducible mixture table. Token counts
+    via the shared _ws_tokens so budgets agree with token_budget /
+    epoch_mixture. One aggregate + a 1-row total broadcast — no other
+    shuffle."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(
+            f"temperature_weights: alpha must be in (0, 1], got {alpha}"
+        )
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"), _ws_tokens(text_col).alias("_t")
+        )
+        .groupBy("grp")
+        .agg(F.sum("_t").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    tot = g.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    return (
+        g.join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.round(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                / F.col("_z"),
+                6,
+            ).alias("weight"),
+        )
+    )

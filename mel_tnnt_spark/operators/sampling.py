@@ -149,3 +149,63 @@ def maintain_weighted_sample(
     for old in vs[:-1]:
         shutil.rmtree(os.path.join(state_path, f"v={old}"), ignore_errors=True)
     return new.localCheckpoint()
+
+
+def contrastive_triplets(
+    df: DataFrame, id_col: str, group_col: str
+) -> DataFrame:
+    """Weak-supervision contrastive training triplets (anchor,
+    positive, negative) — the embedding-training data miner (the
+    in-batch-negatives recipe made explicit): the positive is the
+    anchor's in-group predecessor (same domain/language — the standard
+    weak positive when no near-dup pair exists), the negative a
+    deterministic md5-derived pick from a DIFFERENT group, so the
+    whole triplet table is bit-reproducible on any engine (the
+    weighted_sample/deterministic_walks discipline — no RNG state).
+
+    Negative pick: candidate dense-rank h(anchor) % n, advancing
+    through up to 3 consecutive ranks until the group differs (NULL if
+    all three collide — the all-one-group degenerate corpus). Dense
+    ranks here use a plain global row_number (gate-size corpora; swap
+    in the q87/q93 two-level scan when mining at corpus scale — the
+    candidate join itself is a bounded 3-fanout equi-join either
+    way)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    w_grp = Window.partitionBy("grp").orderBy("id")
+    anchors = (
+        base.withColumn("positive_id", F.lag("id").over(w_grp))
+        .where(F.col("positive_id").isNotNull())
+        .select(F.col("id").alias("anchor_id"), "grp", "positive_id")
+    )
+    rid = F.row_number().over(Window.orderBy("id")) - 1
+    dim = base.select(
+        rid.alias("cand_rid"),
+        F.col("id").alias("cand_id"),
+        F.col("grp").alias("cand_grp"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    h = (
+        "cast(conv(substr(md5(concat('neg|', cast(anchor_id as string))), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    cands = (
+        anchors.join(F.broadcast(n), F.lit(True))
+        .select(
+            "anchor_id", "grp", "positive_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            F.expr(h).alias("_h"),
+            F.col("n"),
+        )
+        .withColumn("cand_rid", F.expr("pmod(_h + off, n)"))
+    )
+    picked = (
+        cands.join(dim, "cand_rid")
+        .where(F.col("cand_grp") != F.col("grp"))
+        .groupBy("anchor_id", "positive_id")
+        .agg(F.min_by("cand_id", "off").alias("negative_id"))
+    )
+    return anchors.select("anchor_id", "positive_id").join(
+        picked, ["anchor_id", "positive_id"], "left"
+    )

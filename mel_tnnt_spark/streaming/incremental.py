@@ -525,3 +525,32 @@ def stream_maintain_closure(
     return _replay_protected_stream(
         edge_stream, state_path, checkpoint_dir, apply, once
     )
+
+
+def stream_maintain_weighted_sample(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    weight_col: str = "w",
+    k: int = 100,
+    once: bool = True,
+):
+    """Streaming twin of `maintain_weighted_sample` (q99): each
+    micro-batch folds into the persisted k-row A-ES reservoir. The
+    A-ES key is derived (id, weight)-only, so the reservoir is a
+    mergeable summary and stream == scratch holds with no
+    arrival-order caveat; replay layers are the scaffold markers plus
+    the fold's own set-union idempotency. Stream == scratch pinned in
+    tests/test_graph_query.py."""
+    from mel_tnnt_spark.operators.sampling import maintain_weighted_sample
+
+    def apply(batch_df: DataFrame) -> None:
+        maintain_weighted_sample(
+            batch_df.sparkSession, state_path, batch_df,
+            id_col, weight_col, k=k,
+        )
+
+    return _replay_protected_stream(
+        doc_stream, state_path, checkpoint_dir, apply, once
+    )

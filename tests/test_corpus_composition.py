@@ -560,3 +560,37 @@ def test_exact_quantiles_matches_sorted_reference(spark):
         exact_quantiles(df, "x", [1.5])
     with pytest.raises(ValueError):
         exact_quantiles(df, "x", [])
+
+
+def test_contrastive_triplets_deterministic_reference(spark):
+    import hashlib
+
+    from mel_tnnt_spark.operators.sampling import contrastive_triplets
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    got = {
+        r["anchor_id"]: (r["positive_id"], r["negative_id"])
+        for r in contrastive_triplets(df, "id", "lang").collect()
+    }
+    ids = sorted(i for i, _ in rows)
+    grp = dict(rows)
+    want = {}
+    for g in ("en", "fr", "de"):
+        members = [i for i in ids if grp[i] == g]
+        for prev, cur in zip(members, members[1:]):
+            h = int(
+                hashlib.md5(f"neg|{cur}".encode()).hexdigest()[:15], 16
+            )
+            neg = None
+            for off in range(3):
+                cand = ids[(h + off) % len(ids)]
+                if grp[cand] != g:
+                    neg = cand
+                    break
+            want[cur] = (prev, neg)
+    assert got == want
+    # all-one-group corpus: negatives are NULL, triplets still emitted
+    one = spark.createDataFrame([(i, "en") for i in range(5)], "id long, lang string")
+    g2 = contrastive_triplets(one, "id", "lang").collect()
+    assert len(g2) == 4 and all(r["negative_id"] is None for r in g2)

@@ -652,3 +652,80 @@ def test_shortest_paths_hop_bound_and_ring(spark):
     assert one.count() == 10
     with pytest.raises(ValueError):
         shortest_paths(ring, "src", "dst", max_hops=0)
+
+
+def test_bgp_partition_pruning_on_pred_partitioned_layout(spark, tmp_path):
+    """The triples WRITE layout (operators/triples.py: partitioned by
+    pred) + bgp_match's literal-pred filters = partition-pruned scans:
+    each BGP leg's plan must carry a PartitionFilters entry on pred
+    and read only that predicate's directory."""
+    rows = (
+        [(f"doc:{i}", "partOf", f"repo:{i % 3}") for i in range(40)]
+        + [(f"doc:{i}", "mentions", f"ent:{i % 7}") for i in range(40)]
+        + [(f"ent:{e}", "label", f"L{e}") for e in range(7)]
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    path = str(tmp_path / "triples")
+    t.write.partitionBy("pred").parquet(path)
+    stored = spark.read.parquet(path)
+    got = bgp_match(
+        stored, [("?d", "mentions", "?e"), ("?e", "label", "?l")]
+    )
+    assert got.count() == 40
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and all("pred" in f for f in pf), plan[:2000]
+    # the partOf partition is pruned from every scan
+    assert "partOf" not in plan
+
+
+def test_stream_weighted_sample_equals_scratch(spark, tmp_path):
+    import os
+
+    from mel_tnnt_spark.operators.sampling import weighted_sample
+    from mel_tnnt_spark.streaming.incremental import (
+        stream_maintain_weighted_sample,
+    )
+
+    rows = [(i, float((i * 13) % 9 + 1)) for i in range(300)]
+    batches = [rows[:100], rows[100:220], rows[220:]]
+    src = str(tmp_path / "wsrc")
+    for b in batches:
+        spark.createDataFrame(b, "id bigint, w double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "wstate")
+
+    def go():
+        stream = (
+            spark.readStream.schema("id bigint, w double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_maintain_weighted_sample(
+            stream, state, str(tmp_path / "wckpt"), id_col="id",
+            weight_col="w", k=40,
+        )
+        q.awaitTermination(180)
+
+    go()
+    vdirs = sorted(
+        (d for d in os.listdir(state) if d.startswith("v=")),
+        key=lambda d: int(d[2:]),
+    )
+    got = {
+        (r["id"], r["w"])
+        for r in spark.read.parquet(os.path.join(state, vdirs[-1])).collect()
+    }
+    scratch = {
+        (r["id"], r["w"])
+        for r in weighted_sample(
+            spark.createDataFrame(rows, "id bigint, w double"), "id", "w", 40
+        ).select("id", "w").collect()
+    }
+    assert got == scratch
+    before = sorted(os.listdir(state))
+    go()
+    assert sorted(os.listdir(state)) == before

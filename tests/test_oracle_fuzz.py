@@ -268,6 +268,8 @@ FUZZ_QUERIES = [
     "q109_kg_property_path",
     "q110_kg_bounded_shortest_paths",
     "q111_s2_exact_quantiles",
+    "q112_cur_temperature_mixture",
+    "q113_contrastive_triplets",
 ]
 
 
