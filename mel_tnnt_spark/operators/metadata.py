@@ -200,7 +200,16 @@ def exact_quantiles(
     counts over the n_buckets-row totals frame == the exact global
     rank; never a single-partition global window. NULLs are excluded
     (a quantile over NULLs is undefined; profile_columns reports the
-    null count)."""
+    null count).
+
+    TIE SKEW (one value carrying a big corpus share — zero-length
+    docs, a constant column) splits adaptively like
+    curation.top_fraction, and more freely: a bucket holding ONE
+    distinct value can sub-bucket its rows ARBITRARILY (every row
+    carries the same value, so whichever row lands on the target rank
+    emits the identical answer) — sub-bucket by
+    monotonically_increasing_id mod S, result-invariant by
+    construction. Mixed buckets keep the plain in-bucket window."""
     for q in quantiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"exact_quantiles: quantile {q} outside [0, 1]")
@@ -224,8 +233,26 @@ def exact_quantiles(
             )
         ),
     )
-    intra = Window.partitionBy("_b").orderBy(F.asc("_v"))
-    with_rank = bucketed.withColumn("_rn", F.row_number().over(intra))
+    tie_subbuckets = 64
+    stats = bucketed.groupBy("_b").agg(F.countDistinct("_v").alias("_bd"))
+    with_b2 = bucketed.join(F.broadcast(stats), "_b").withColumn(
+        "_b2",
+        F.when(
+            F.col("_bd") == 1,
+            F.pmod(F.monotonically_increasing_id(), F.lit(tie_subbuckets)),
+        ).otherwise(F.lit(0)),
+    )
+    intra = Window.partitionBy("_b", "_b2").orderBy(F.asc("_v"))
+    with_rank = with_b2.withColumn("_rn", F.row_number().over(intra))
+    totals2 = with_b2.groupBy("_b", "_b2").agg(F.count(F.lit(1)).alias("_cnt2"))
+    prefix2 = totals2.select(
+        "_b",
+        "_b2",
+        (
+            F.sum("_cnt2").over(Window.partitionBy("_b").orderBy(F.asc("_b2")))
+            - F.col("_cnt2")
+        ).alias("_prefix2"),
+    )
     totals = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
     prefix = totals.select(
         "_b",
@@ -233,8 +260,14 @@ def exact_quantiles(
             "_prefix"
         ),
     )
-    ranked = with_rank.join(F.broadcast(prefix), "_b").select(
-        (F.col("_prefix") + F.col("_rn")).alias("rank"), F.col("_v"), F.col("n")
+    ranked = (
+        with_rank.join(F.broadcast(prefix2), ["_b", "_b2"])
+        .join(F.broadcast(prefix), "_b")
+        .select(
+            (F.col("_prefix") + F.col("_prefix2") + F.col("_rn")).alias("rank"),
+            F.col("_v"),
+            F.col("n"),
+        )
     )
     targets = F.array(
         *[
