@@ -104,6 +104,7 @@ HEADLINE = [
     "q111_s2_exact_quantiles",
     "q112_cur_temperature_mixture",
     "q113_contrastive_triplets",
+    "q114_kg_khop_aggregate",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

@@ -715,3 +715,39 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def khop_aggregate(
+    edges: DataFrame,
+    features: DataFrame,
+    src_col: str,
+    dst_col: str,
+    node_col: str,
+    feature_col: str,
+    k: int,
+) -> DataFrame:
+    """K-hop neighborhood feature aggregation — the GNN
+    message-passing primitive done relationally: for every node, the
+    SUM of an integer feature over all nodes reachable within k
+    directed hops (each reachable neighbor counted ONCE, however many
+    paths lead to it — shortest_paths dedups to min distance per
+    pair). Returns (node, n_neighbors, feature_sum).
+
+    Integer features keep the aggregate exact on any engine (the
+    micro-integer discipline); use a quantized feature for floats.
+    Cost = shortest_paths (log2(k) join+min rounds) + one broadcastable
+    feature join + one groupBy — the output row count is nodes, not
+    paths."""
+    paths = shortest_paths(edges, src_col, dst_col, k)
+    feat = features.select(
+        F.col(node_col).alias("dst"),
+        F.col(feature_col).cast("long").alias("_f"),
+    )
+    return (
+        paths.join(feat, "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum("_f").alias("feature_sum"),
+        )
+    )

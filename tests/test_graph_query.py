@@ -729,3 +729,32 @@ def test_stream_weighted_sample_equals_scratch(spark, tmp_path):
     before = sorted(os.listdir(state))
     go()
     assert sorted(os.listdir(state)) == before
+
+
+def test_khop_aggregate_matches_bfs_reference(spark):
+    from mel_tnnt_spark.operators.graph_query import khop_aggregate
+
+    rng = random.Random(47)
+    edge_list = list(
+        {
+            (f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}")
+            for _ in range(60)
+        }
+    )
+    feats = {f"n{i}": (i * 7) % 13 for i in range(20)}
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    fdf = spark.createDataFrame(
+        list(feats.items()), "node string, f long"
+    )
+    got = {
+        r["node"]: (r["n_neighbors"], r["feature_sum"])
+        for r in khop_aggregate(
+            edges, fdf, "src", "dst", "node", "f", k=3
+        ).collect()
+    }
+    ref = _bfs_ref(edge_list, 3)
+    want = {}
+    for (s, v), _d in ref.items():
+        n, fs = want.get(s, (0, 0))
+        want[s] = (n + 1, fs + feats[v])
+    assert got == want

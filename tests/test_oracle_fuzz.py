@@ -270,6 +270,7 @@ FUZZ_QUERIES = [
     "q111_s2_exact_quantiles",
     "q112_cur_temperature_mixture",
     "q113_contrastive_triplets",
+    "q114_kg_khop_aggregate",
 ]
 
 
