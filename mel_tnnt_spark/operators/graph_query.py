@@ -45,6 +45,9 @@ All pure DataFrame (zero UDFs), all oracle-gated:
   folds).
 - `shortest_paths` — bounded-hop min-plus doubling (the closure's
   semiring twin): k-hop neighborhood distances, cycles included.
+- `khop_aggregate` — GNN-style message passing: per-node exact
+  integer feature sum over the <=k-hop neighborhood (composes
+  shortest_paths + one feature join + one groupBy).
 - `deterministic_walks` — DeepWalk corpus generation with md5-derived
   step choices (reproducible on any engine, no RNG state).
 - `bgp_match` also accepts SPARQL property paths: a literal predicate

@@ -12,6 +12,9 @@ stay JVM-side (aggregate/zip_with higher-order functions); no UDFs.
 At 100 TB the brute-force variant is a full scan per query — fine for
 batch scoring (it vectorizes and prunes to one column), while the
 bucketed variant cuts candidates by ~2^P for online lookups.
+`random_projection` is the pre-ANN compression step: JL sign-matrix
+projection in exact micro-integer arithmetic (engine-portable,
+shuffle-order-free).
 """
 
 from __future__ import annotations
