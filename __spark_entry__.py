@@ -4574,6 +4574,71 @@ def q114(spark, sf_dir):
     return khop_aggregate(edges, feats, "src", "dst", "id", "f", k=4)
 
 
+@_q(
+    "q115_kg_edge_jaccard",
+    """
+    WITH r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+               FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM r),
+    e AS (SELECT LEAST(id, (id + 1) % n) AS lo,
+                 GREATEST(id, (id + 1) % n) AS hi
+          FROM r CROSS JOIN nn
+          UNION
+          SELECT LEAST(id, (id + 2) % n), GREATEST(id, (id + 2) % n)
+          FROM r CROSS JOIN nn),
+    adj AS (SELECT lo AS node, hi AS nb FROM e
+            UNION ALL SELECT hi, lo FROM e),
+    deg AS (SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+    sh AS (SELECT e.lo, e.hi, count(*)::BIGINT AS n_shared
+           FROM e
+           JOIN adj a ON a.node = e.lo
+           JOIN adj b ON b.node = e.hi AND b.nb = a.nb
+           GROUP BY 1, 2)
+    SELECT e.lo, e.hi, coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+           round(coalesce(sh.n_shared, 0)
+                 / (dl.d + dh.d - coalesce(sh.n_shared, 0)), 6) AS jaccard
+    FROM e
+    JOIN deg dl ON dl.node = e.lo
+    JOIN deg dh ON dh.node = e.hi
+    LEFT JOIN sh ON sh.lo = e.lo AND sh.hi = e.hi
+    """,
+)
+def q115(spark, sf_dir):
+    """Per-edge neighborhood Jaccard (edge_neighborhood_jaccard) —
+    the link-prediction / graph-dedup feature: |N(u) n N(v)| /
+    |N(u) u N(v)| for every edge of the dense-id +1/+2 ring (every
+    edge shares exactly 1–2 neighbors by construction, wrap-around
+    included). The engine expands common-neighbor candidates from the
+    LOWER-degree endpoint (the q105 orientation argument: total
+    candidates O(sum min-deg) = O(m^1.5), star-proof); the oracle
+    joins both adjacency sides symmetrically — an independent
+    formulation, so the hash match certifies the oriented expansion."""
+    from pyspark.sql import Window
+
+    from mel_tnnt_spark.operators.graph_query import edge_neighborhood_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("id")
+    )
+    nn = r.agg(F.count(F.lit(1)).alias("n"))
+    w = r.join(F.broadcast(nn), F.lit(True))
+    edges = (
+        w.select(
+            F.col("id").alias("a"), ((F.col("id") + 1) % F.col("n")).alias("b")
+        )
+        .unionByName(
+            w.select(
+                F.col("id").alias("a"),
+                ((F.col("id") + 2) % F.col("n")).alias("b"),
+            )
+        )
+    )
+    return edge_neighborhood_jaccard(edges, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # Registration order (round-5 certify-on-change rotation): the
 # driver's correctness harness evaluates only the FIRST 50 registered

@@ -105,6 +105,7 @@ HEADLINE = [
     "q112_cur_temperature_mixture",
     "q113_contrastive_triplets",
     "q114_kg_khop_aggregate",
+    "q115_kg_edge_jaccard",
 ]
 
 # Registered queries deliberately NOT in the headline timing loop —

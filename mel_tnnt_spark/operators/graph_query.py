@@ -754,3 +754,87 @@ def khop_aggregate(
             F.sum("_f").alias("feature_sum"),
         )
     )
+
+
+def edge_neighborhood_jaccard(
+    edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Neighborhood-overlap similarity for every existing undirected
+    edge — the classic link-prediction / graph-dedup feature:
+    jaccard(u, v) = |N(u) n N(v)| / |N(u) u N(v)| over neighbor sets
+    (N(x) includes the other endpoint). Returns (lo, hi, n_shared,
+    jaccard), jaccard rounded to 6.
+
+    Scale shape: common neighbors expand from the LOWER-degree
+    endpoint of each edge (the triangle_count orientation argument):
+    fan-out per edge is min(deg(u), deg(v)), so total candidate rows
+    are O(sum_e min-deg) = O(m^1.5) on any graph instead of
+    O(sum deg^2) — a crawl star contributes its leaves' tiny degrees,
+    not hub-degree^2. The membership probe is an equi-join against
+    the canonical edge set."""
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .where(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") != F.col("hi"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = canon.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nb")
+    ).unionByName(canon.select(F.col("hi").alias("node"), F.col("lo").alias("nb")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        canon.join(deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi")), "hi")
+        .withColumn(
+            "low_end",
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.col("lo"),
+            ).otherwise(F.col("hi")),
+        )
+        .withColumn(
+            "other_end",
+            F.when(F.col("low_end") == F.col("lo"), F.col("hi")).otherwise(
+                F.col("lo")
+            ),
+        )
+    )
+    # expand candidates from the low-degree endpoint, excluding the
+    # edge partner itself (w == other endpoint is not a COMMON
+    # neighbor candidate — it is not adjacent to itself)
+    cand = e.join(
+        adj.select(F.col("node").alias("low_end"), F.col("nb").alias("w")),
+        "low_end",
+    ).where(F.col("w") != F.col("other_end"))
+    shared = (
+        cand.join(
+            canon.select(
+                F.col("lo").alias("_clo"), F.col("hi").alias("_chi")
+            ),
+            (F.least("other_end", "w") == F.col("_clo"))
+            & (F.greatest("other_end", "w") == F.col("_chi")),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        e.join(shared, ["lo", "hi"], "left")
+        .select(
+            "lo",
+            "hi",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / (F.col("dlo") + F.col("dhi") - F.coalesce("n_shared", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

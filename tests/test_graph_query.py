@@ -758,3 +758,41 @@ def test_khop_aggregate_matches_bfs_reference(spark):
         n, fs = want.get(s, (0, 0))
         want[s] = (n + 1, fs + feats[v])
     assert got == want
+
+
+def test_edge_neighborhood_jaccard_matches_brute(spark):
+    from mel_tnnt_spark.operators.graph_query import edge_neighborhood_jaccard
+
+    rng = random.Random(53)
+    edge_list = list(
+        {
+            tuple(sorted((f"v{rng.randint(0, 29)}", f"v{rng.randint(0, 29)}")))
+            for _ in range(160)
+        }
+    )
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "a string, b string")
+    got = {
+        (r["lo"], r["hi"]): (r["n_shared"], r["jaccard"])
+        for r in edge_neighborhood_jaccard(edges, "a", "b").collect()
+    }
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edge_list:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    for a, b in edge_list:
+        inter = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a] | nbrs[b])
+        want[(a, b)] = (inter, round(inter / union, 6))
+    assert got == want
+    # star: every edge has zero shared neighbors, jaccard 0
+    star = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(20)], "a string, b string"
+    )
+    s = edge_neighborhood_jaccard(star, "a", "b").collect()
+    assert len(s) == 20 and all(
+        r["n_shared"] == 0 and r["jaccard"] == 0.0 for r in s
+    )

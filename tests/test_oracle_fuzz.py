@@ -271,6 +271,7 @@ FUZZ_QUERIES = [
     "q112_cur_temperature_mixture",
     "q113_contrastive_triplets",
     "q114_kg_khop_aggregate",
+    "q115_kg_edge_jaccard",
 ]
 
 
