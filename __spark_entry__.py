@@ -22,8 +22,73 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from mel_tnnt_spark.config import STOPWORDS  # noqa: E402
 
 
+def _scan_row_groups(path: str, cap: int = 64) -> int | None:
+    """Total parquet row groups under `path` (file or directory),
+    counting at most `cap` before giving up — row groups are parquet's
+    parallelism unit, so this is the EFFECTIVE max task count of a
+    scan regardless of how many splits Spark plans."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_row_groups
+        n = 0
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                if n >= cap:
+                    return n
+        return n if n > 0 else None
+    except Exception:
+        return None
+
+
+def _scan_bytes(path: str) -> int | None:
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except Exception:
+        return None
+
+
+# Small single-row-group inputs cannot parallelize AT ALL (a parquet
+# row group is the scan's atomic unit), so every narrow chain above
+# such a scan runs on ONE core of N — the guide §2.5 "one huge
+# unsplittable file" case. For inputs small enough that one extra
+# exchange is trivially cheap, redistribute right after the read.
+# Large tables never hit this (they carry many row groups, and at
+# 100 TB the threshold is orders of magnitude below table size, so
+# this is a no-op there — the knob is env-tunable for odd layouts).
+_REPARTITION_SMALL_SCAN_BYTES = 64 * 1024 * 1024
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    limit = int(
+        os.environ.get(
+            "SPARK_GRAFT_REPARTITION_SMALL_SCAN_BYTES",
+            _REPARTITION_SMALL_SCAN_BYTES,
+        )
+    )
+    cpus = spark.sparkContext.defaultParallelism
+    size = _scan_bytes(path)
+    if size is not None and size < limit:
+        rgs = _scan_row_groups(path, cap=cpus)
+        if rgs is not None and rgs < max(2, cpus // 2):
+            df = df.repartition(cpus)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -429,9 +494,12 @@ def q10(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).alias("word")
     )
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    # InSet membership (hash set) instead of array_contains (a
+    # 114-element linear scan per token) — same NOT IN semantics,
+    # >10 literals so the optimizer compiles it to InSet (guide §4.1:
+    # prefer the codegen-friendly built-in form).
     return (
-        toks.where(~F.array_contains(stop, F.lower(F.col("word"))))
+        toks.where(~F.lower(F.col("word")).isin(*STOPWORDS))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
     )

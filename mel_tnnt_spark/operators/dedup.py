@@ -1412,6 +1412,8 @@ def semantic_dedup(
         return emb.sparkSession.createDataFrame(
             [], "id long, cluster_id int, keep boolean"
         )
+    from mel_tnnt_spark.operators.similarity import _guarded_dot, _uniform_dim
+
     assigned = ivf_assign(emb, id_col, vec_col, pivots)
     # Normalize ONCE per row, not once per pair: higher-order array
     # expressions are interpreted (outside whole-stage codegen), so
@@ -1419,6 +1421,18 @@ def semantic_dedup(
     # (dot + both norms) measured ~3x slower at sf0.1. A zero-norm
     # row gets u = NULL, so every cosine involving it is NULL and
     # fails the threshold (the ANSI guard, preserved).
+    #
+    # Codegen fast path for the PAIR dot only (guide §4.1): when both
+    # rows' sizes match the pivots' common dimension, the dot runs as a
+    # flat expression tree with the SAME left-associative float fold
+    # (bit-identical result) inside whole-stage codegen; ragged/NULL
+    # rows keep the interpreted fold. The per-pair dot is the engine's
+    # hottest expression — sum(c_i^2) evaluations — and interpreted
+    # higher-order folds are ~30x slower than codegen. The per-ROW
+    # norm/unit stay interpreted: they run once per row, and expanding
+    # them bloats the plan for no measurable win (see the ivf_assign
+    # note in similarity.py).
+    d = _uniform_dim(pivots)
     unit = assigned.withColumn(
         "_n", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
     ).select(
@@ -1428,9 +1442,7 @@ def semantic_dedup(
             F.col("_n") > 0, F.expr("transform(v, x -> x / _n)")
         ).alias("u"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(a.u, b.u, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    )
+    dot = _guarded_dot("a.u", "b.u", d)
     dropped = (
         unit.alias("a")
         .join(

@@ -464,16 +464,29 @@ def pagerank_micro(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
         .localCheckpoint(eager=True)
     )
+    # Hoist the out-degree join OUT of the iteration loop (guide §2.4:
+    # remove shuffles outright): the degree of an edge's source is
+    # loop-invariant, so attach it to the edge list ONCE and checkpoint
+    # the result partitioned by src — each iteration then joins ranks
+    # against an already-partitioned static side instead of re-running
+    # an edges-x-degrees join (2 exchanges/iteration removed). The
+    # nodes dim is checkpointed partitioned by node for the same
+    # reason (the per-iteration left join).
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = (
+        e.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
     MICRO = 1_000_000_000_000
     BASE = MICRO * 3 // 20  # (1 - 17/20) * 1.0 in micro-units
     ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
     for it in range(1, iterations + 1):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div outdeg").alias("c"),

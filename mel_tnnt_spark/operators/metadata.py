@@ -207,16 +207,25 @@ def exact_quantiles(
     curation.top_fraction, and more freely: a bucket holding ONE
     distinct value can sub-bucket its rows ARBITRARILY (every row
     carries the same value, so whichever row lands on the target rank
-    emits the identical answer) — sub-bucket by
-    monotonically_increasing_id mod S, result-invariant by
-    construction. Mixed buckets keep the plain in-bucket window."""
+    emits the identical answer) — sub-bucket by a DETERMINISTIC
+    per-row hash of the input row (xxhash64 over every input column),
+    result-invariant by construction. The hash replaced
+    monotonically_increasing_id (round-6 ADVICE): the ranking branch
+    and the totals branch evaluate the sub-bucket expression
+    independently, and a non-deterministic id could assign a row to
+    different sub-buckets per branch under task retry or partition
+    changes, skipping/duplicating global ranks. Identical full rows
+    share a sub-bucket (hash collision by value), which at worst
+    weakens the split back to the unsplit case — never the answer.
+    Mixed buckets keep the plain in-bucket window."""
     for q in quantiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"exact_quantiles: quantile {q} outside [0, 1]")
     if not quantiles:
         raise ValueError("exact_quantiles: need at least one quantile")
     base = df.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("double").alias("_v")
+        F.col(value_col).cast("double").alias("_v"),
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("_rk"),
     )
     bounds = base.agg(
         F.min("_v").alias("lo"),
@@ -239,7 +248,7 @@ def exact_quantiles(
         "_b2",
         F.when(
             F.col("_bd") == 1,
-            F.pmod(F.monotonically_increasing_id(), F.lit(tie_subbuckets)),
+            F.pmod(F.col("_rk"), F.lit(tie_subbuckets)),
         ).otherwise(F.lit(0)),
     )
     intra = Window.partitionBy("_b", "_b2").orderBy(F.asc("_v"))

@@ -27,6 +27,43 @@ def _dot(a: str, b: str) -> F.Column:
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
 
+def _uniform_dim(vecs: list[list[float]]) -> int | None:
+    """The common dimensionality of a driver-side vector list, or None
+    when ragged/empty — gate for the codegen fast paths below."""
+    dims = {len(v) for v in vecs}
+    if len(dims) == 1:
+        d = dims.pop()
+        return d if d >= 1 else None
+    return None
+
+
+def _dot_fixed(a: str, b: str, d: int) -> F.Column:
+    """dot(a, b) for two array columns KNOWN to both have size d —
+    the same left-associative ((0 + p1) + p2) + ... float fold as the
+    interpreted `aggregate(zip_with(...))` in `_dot` (bit-identical
+    result), but as a flat expression tree that whole-stage codegen
+    compiles (higher-order functions are CodegenFallback — interpreted
+    per row — which made the pair stages of semantic_dedup and
+    ivf_assign the hottest code in the engine; guide §4.1: prefer
+    built-ins/codegen over interpreted paths)."""
+    acc: F.Column = F.lit(0.0)
+    for i in range(1, d + 1):
+        acc = acc + F.expr(f"element_at({a}, {i})") * F.expr(f"element_at({b}, {i})")
+    return acc
+
+
+def _guarded_dot(a: str, b: str, d: int | None) -> F.Column:
+    """`_dot` with the codegen fast path when both sides have size d at
+    runtime; NULL/ragged rows fall back to the interpreted fold, so the
+    result (including NULL propagation) is identical for every row."""
+    if d is None:
+        return _dot(a, b)
+    return F.when(
+        (F.expr(f"size({a})") == d) & (F.expr(f"size({b})") == d),
+        _dot_fixed(a, b, d),
+    ).otherwise(_dot(a, b))
+
+
 def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"))
 
@@ -128,6 +165,14 @@ def ivf_assign(
     reads only its lists (partition pruning does IVF's inverted-list
     seek)."""
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # NOTE: the per-centroid distances deliberately stay as the
+    # interpreted higher-order fold: expanding C x d literal terms
+    # (tried in round 7) produced megabyte expression trees that the
+    # optimizer then DUPLICATED into pushed-down isnotnull filters —
+    # planning cost alone exceeded the interpreted evaluation. The
+    # assignment runs once per ROW (not per pair), so it is never the
+    # hot path; the pair-stage dot in semantic_dedup is (see
+    # _guarded_dot).
     ds = F.array(*[_sq_l2("v", c) for c in centroids])
     return v.withColumn(
         "centroid", (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
@@ -252,9 +297,47 @@ def random_projection(
             "0L, (acc, e) -> acc + e)"
         )
 
+    # Codegen fast path (guide §4.1): the sign s_ij depends only on
+    # (i, j), never on the row, so hoist the md5-parity matrix to the
+    # driver (out_dim x d ints — tiny, same md5/conv/pmod arithmetic)
+    # and emit the projection as a flat integer expression whole-stage
+    # codegen compiles. The interpreted fold re-derived the md5 PER
+    # ELEMENT PER ROW (d x out_dim md5 calls per row — the entire q108
+    # cost). Rows whose size differs from the probed dimension keep the
+    # interpreted fold; integer sums are order-exact either way, so
+    # results are bit-identical.
+    d_probe = None
+    try:
+        r = (
+            emb.select(F.size(F.col(vec_col)).alias("_d"))
+            .where(F.col("_d").isNotNull() & (F.col("_d") >= 1))
+            .first()
+        )
+        d_probe = int(r["_d"]) if r is not None else None
+    except Exception:
+        d_probe = None
+
+    def y_col(j: int) -> F.Column:
+        if d_probe is None:
+            return y(j)
+        import hashlib
+
+        acc: F.Column = F.lit(0).cast("long")
+        for i in range(d_probe):
+            par = (
+                int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:15], 16) % 2
+            )
+            s = 1 if par == 0 else -1
+            term = F.expr(
+                f"cast(round(cast(element_at({vec_col}, {i + 1}) as double)"
+                " * 1000000) as bigint)"
+            ) * F.lit(s).cast("long")
+            acc = acc + term
+        return F.when(F.expr(f"size({vec_col})") == d_probe, acc).otherwise(y(j))
+
     arr = F.array(
         *[
-            F.struct(F.lit(j).alias("j"), y(j).alias("y_micro"))
+            F.struct(F.lit(j).alias("j"), y_col(j).alias("y_micro"))
             for j in range(out_dim)
         ]
     )

@@ -631,7 +631,17 @@ def lm_bigram_scores(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    bc = stream.groupBy("g").agg(F.count("*").alias("c12"))
+    # Materialize the bigram-count table ONCE (localCheckpoint): bc
+    # feeds ctx, vocab, the model join, and (via the hot/cold split)
+    # two more filtered consumers — without materialization each
+    # consumer re-runs the full tokenize+explode+shuffle of the stream
+    # (measured: the whole-model subtree evaluated 4x on q95's plan).
+    # bc is the DISTINCT-bigram table — the model itself, far smaller
+    # than the stream — so this is the "materialize the small decision
+    # table, never the payload" shape of guide §8.
+    bc = stream.groupBy("g").agg(F.count("*").alias("c12")).localCheckpoint(
+        eager=True
+    )
     w1 = F.substring_index(F.col("g"), " ", 1)
     ctx = bc.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("ctx"))
     vocab = bc.select(
@@ -642,6 +652,10 @@ def lm_bigram_scores(
         .join(F.broadcast(vocab), F.lit(True))  # 1-row scalar attach
         .select("g", "c12", "ctx", "v")
     )
+    if hot_df is not None:
+        # the split path reads the model twice (hot filter + cold
+        # filter); materialize it once so neither side re-aggregates
+        model = model.localCheckpoint(eager=True)
     lp = F.log(
         (F.col("c12") + F.lit(smoothing_k))
         / (F.col("ctx") + F.lit(smoothing_k) * F.col("v"))

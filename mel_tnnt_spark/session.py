@@ -52,11 +52,53 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         # 128 MB scan splits: good parallelism at 100 TB without tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split-size floor (guide §6 / §2): each file is charged
+        # openCostInBytes when packed into splits, and the 4 MB default
+        # FLOORS the split size at 4 MB — a 6 MB table then scans as 2
+        # tasks and every narrow chain above it (explode/regex/hash
+        # heavy operators) runs on 2 of N cores. 64 KB reflects real
+        # open cost on local/NVMe and object-store range reads and lets
+        # small inputs split to totalBytes/defaultParallelism; large
+        # scans still get maxPartitionBytes-sized splits. Cluster
+        # deployments with many tiny remote files can raise it via env.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "65536"),
+        )
         # Broadcast dims (alias dict, label map) aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins (guide §3.1): allow shuffled-hash join when its size
+        # conditions are met instead of always sort-merge — the graph /
+        # dedup paths join multi-million-row string-keyed tables where
+        # the two SMJ sorts are pure overhead. AQE additionally
+        # rewrites SMJ->SHJ at runtime when every post-shuffle
+        # partition is under the local-map threshold (64 MB default
+        # here; both knobs env-overridable for cluster deployments
+        # where per-task memory is tighter).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "67108864"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits large straight-line methods (wide
+        # aggregates, expanded dot products); HotSpot refuses to JIT
+        # methods over 8 KB of bytecode by default, silently running
+        # them in the bytecode interpreter (~10x slower). Standard
+        # Spark practice is to lift that cap (set the same flag in
+        # spark.executor.extraJavaOptions on a real cluster — local
+        # mode executes in the driver JVM).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:-DontCompileHugeMethods"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

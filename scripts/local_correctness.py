@@ -37,6 +37,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=str(REPO / "CORRECTNESS_LOCAL_r04.json"))
+    ap.add_argument(
+        "--queries", default="",
+        help="comma-separated subset to check (default: all registered)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +57,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = e.queries()
+    if args.queries:
+        want = [n for n in args.queries.split(",") if n]
+        missing = sorted(set(want) - set(qs))
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        qs = {n: qs[n] for n in want}
     sqls = e.oracle_sql()
     out: dict[str, dict] = {}
     t_all = time.time()
