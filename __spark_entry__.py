@@ -71,11 +71,20 @@ def _scan_bytes(path: str) -> int | None:
 _REPARTITION_SMALL_SCAN_BYTES = 64 * 1024 * 1024
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, repartition: bool = True
+) -> DataFrame:
+    """Read one testdata table. `repartition=False` opts a call site
+    out of the small-scan redistribution — right for queries that
+    immediately filter to a few hundred rows (the chained/stateful
+    gates): there the extra exchange is a per-job stage barrier with
+    nothing to parallelize."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not repartition:
+        return df
     limit = int(
         os.environ.get(
             "SPARK_GRAFT_REPARTITION_SMALL_SCAN_BYTES",
@@ -306,7 +315,7 @@ def q06(spark, sf_dir):
 def q15(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     return (
         docs.select(
             "doc_id", F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn")
@@ -666,7 +675,7 @@ def q18(spark, sf_dir):
     # 35x at sf0.01, 23000x at sf0.1; measured, see BENCH.md).
     from mel_tnnt_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08, max_df=20)
 
 
@@ -704,7 +713,7 @@ def _minhash_seeds_values(k: int) -> str:
 def q19(spark, sf_dir):
     from mel_tnnt_spark.operators.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 20)
     out = minhash_signatures(docs, "doc_id", "text", n=3, k=8)
     return out.select(F.col("id").alias("doc_id"), F.col("seed").cast("long").alias("seed"), "minhash")
 
@@ -728,7 +737,7 @@ def q19(spark, sf_dir):
 def q20(spark, sf_dir):
     from mel_tnnt_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 50)
     return simhash(docs, "doc_id", "text", bits=16).select(
         F.col("id").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
     )
@@ -767,7 +776,7 @@ def q35(spark, sf_dir):
     oracle-gated (round-1 gap). k=8 seeds, 4 bands of 2 rows."""
     from mel_tnnt_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 200)
     out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=8, bands=4)
     return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
 
@@ -1570,7 +1579,7 @@ def q52(spark, sf_dir):
     branches, and the nsubj/ROOT/det/obj/dep assignment."""
     from mel_tnnt_spark.operators.enrichment import pos_tag_tokens
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 30)
     text = F.concat(
         F.lit("Alice Johnson built the "), F.col("lang"),
         F.lit(" pipeline. She quickly made "),
@@ -1608,7 +1617,7 @@ def q53(spark, sf_dir):
     arithmetically by the oracle."""
     from mel_tnnt_spark.operators.enrichment import coref_resolve
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 30)
     text = F.concat(
         F.lit("Alice Johnson met "), F.upper("source"), F.lit(". She thanked him.")
     )
@@ -1635,7 +1644,7 @@ def q54(spark, sf_dir):
     batch twin against an independent engine (the q46 pattern)."""
     from mel_tnnt_spark.streaming.stateful import first_seen_batch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     keyed = docs.select(
         F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
     )
@@ -1673,7 +1682,7 @@ def q55(spark, sf_dir):
     exceed the 4-pixel mean."""
     from mel_tnnt_spark.operators.multimodal import extract_image_features
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 40)
 
     def byte(c):
         return F.unhex(F.lpad(F.hex(c), 2, "0"))
@@ -1733,7 +1742,7 @@ def q56(spark, sf_dir):
     unknown-extension fallbacks."""
     from mel_tnnt_spark.operators.metadata import with_general_metadata
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 50)
     suffix = (
         F.when(F.col("lang") == "und", ".xyz")
         .when(F.col("source") == "web", ".md")
@@ -1773,7 +1782,7 @@ def q57(spark, sf_dir):
     contract on the decomposable subset)."""
     from mel_tnnt_spark.functions.text import ascii_fold_udf
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 50)
     text = F.concat(F.lit("café résumé naïve "), F.col("lang"))
     return docs.select("doc_id", ascii_fold_udf(text).alias("folded"))
 
@@ -1813,7 +1822,7 @@ def q58(spark, sf_dir):
     (\"doc\" inside triple quotes counts once each way)."""
     from mel_tnnt_spark.operators.lang_extract import with_structural_metadata
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     k = (F.col("doc_id") % 4 + 1).cast("int")
     extractor = (
         F.when(F.col("source") == "web", "JS")
@@ -1875,7 +1884,7 @@ def q59(spark, sf_dir):
     reproduced literally by the oracle."""
     from mel_tnnt_spark.operators.lang_extract import csv_cells
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     text = F.concat(F.lit("alpha,beta "), F.col("lang"), F.lit("\ngamma-delta"))
     return csv_cells(
         docs.select("doc_id", text.alias("clean_text")), "doc_id", "clean_text"
@@ -1918,7 +1927,7 @@ def q60(spark, sf_dir):
     context sentences arithmetically."""
     from mel_tnnt_spark.operators.mentions import detect_mentions
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     lcap = F.concat(
         F.upper(F.substring("lang", 1, 1)), F.expr("substring(lang, 2)")
     )
@@ -1997,7 +2006,7 @@ def q61(spark, sf_dir):
     from mel_tnnt_spark.config import ALIAS_DICT
     from mel_tnnt_spark.operators.linking import alias_dict_df, link_mentions
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     uniq = list(dict.fromkeys(d["alias"] for d in ALIAS_DICT))
     entity = F.element_at(
         F.array(*[F.lit(a) for a in uniq]), (F.col("doc_id") % len(uniq) + 1).cast("int")
@@ -2052,7 +2061,7 @@ def q62(spark, sf_dir):
     """
     from mel_tnnt_spark.operators.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 120)
     return simhash_pairs(docs, "doc_id", "text", bits=16, max_hamming=3)
 
 
@@ -2090,7 +2099,7 @@ def q63(spark, sf_dir):
     hits without a scheme)."""
     from mel_tnnt_spark.operators.summaries import summary_filters
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 80)
     surfaces = F.array(
         F.lit("Alice Johnson"),
         F.concat(F.col("lang"), F.lit("-"), (F.col("doc_id") % 100).cast("string")),
@@ -2140,7 +2149,7 @@ def q64(spark, sf_dir):
     oracle's closed-form arithmetic on the same sample values."""
     from mel_tnnt_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 40)
     header = F.unhex(F.lit(
         "52494646"  # RIFF
         "2C000000"  # chunk size 44
@@ -2190,7 +2199,7 @@ def q65(spark, sf_dir):
     and the stride-2 sequence is closed-form in the oracle."""
     from mel_tnnt_spark.operators.multimodal import frame_sample_plan
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 80)
     payload = F.repeat(F.lit("x"), ((F.col("doc_id") % 7) + 1).cast("int") * 1500)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
@@ -2229,7 +2238,7 @@ def q66(spark, sf_dir):
     arithmetically."""
     from mel_tnnt_spark.operators.summaries import aggregated_summary
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     e1 = F.concat(F.lit("Alice "), F.col("lang"))
 
     def m(model, cat, ent):
@@ -2297,7 +2306,7 @@ def q67(spark, sf_dir):
         hdrs.append(buf.getvalue()[:512].hex())
     tail_hex = "00" * (480 + 1024)  # content-block padding + end-of-archive
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     hdr = F.element_at(
         F.array(*[F.lit(h) for h in hdrs]), (F.col("doc_id") % 7 + 1).cast("int")
     )
@@ -2342,7 +2351,7 @@ def q68(spark, sf_dir):
         incremental_components,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     i = F.col("doc_id").cast("long")
     first = docs.where(F.col("doc_id") < 60).select(
         (i * 2).alias("src"), (i * 2 + 1).alias("dst")
@@ -2386,7 +2395,7 @@ def q69(spark, sf_dir):
     resize / frame-sample multimodal quartet, each oracle-gated."""
     from mel_tnnt_spark.operators.multimodal import resize_images
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 40)
 
     def byte(c):
         return F.unhex(F.lpad(F.hex(c), 2, "0"))
@@ -2581,7 +2590,7 @@ def q73(spark, sf_dir):
     fingerprints even when whole-set similarity is negligible."""
     from mel_tnnt_spark.operators.dedup import overlap_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 150)
     return overlap_pairs(docs, "doc_id", "text", n=3, window=4, min_shared=2, max_df=50)
 
 
@@ -2605,7 +2614,7 @@ def q74(spark, sf_dir):
     exactly 30 components of size 4 covering 120 nodes."""
     from mel_tnnt_spark.operators.components import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     i = F.col("doc_id").cast("long")
     edges = (
         docs.where(F.col("doc_id") < 60)
@@ -2662,7 +2671,7 @@ def q75(spark, sf_dir):
     states all three offsets closed-form."""
     from mel_tnnt_spark.operators.mentions import detect_mentions
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     i = F.col("doc_id").cast("string")
     text = F.concat(
         F.lit("Dup"), i, F.lit(" mid"), i, F.lit(" Dup"), i, F.lit(" Dup"), i
@@ -2704,7 +2713,7 @@ def q76(spark, sf_dir):
     test_csv_ner_merge_order_stability."""
     from mel_tnnt_spark.operators.mentions import csv_ner_merge
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 60)
     lcap = F.concat(F.upper(F.substring("lang", 1, 1)), F.expr("substring(lang, 2)"))
     cells = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -2752,7 +2761,7 @@ def q77(spark, sf_dir):
 
     from mel_tnnt_spark.operators.dedup import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     d = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")
@@ -2813,7 +2822,7 @@ def q78(spark, sf_dir):
     the contract, PII_PATTERNS in textstats.py)."""
     from mel_tnnt_spark.operators.textstats import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 300)
     text = F.concat(
         F.col("text"),
         F.lit(" contact bob@"), F.col("lang"), F.lit(".example.com via https://"),
@@ -2844,7 +2853,7 @@ def q79(spark, sf_dir):
     twice (top 2/8 = 0.25)."""
     from mel_tnnt_spark.operators.textstats import repetition_metrics
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 300)
     line1 = F.concat(F.lit("alpha "), F.col("lang"), F.lit(" beta"))
     line2 = F.concat(F.lit("gamma delta "), F.col("lang"))
     text = F.concat_ws("\n", line1, line1, line2)
@@ -2906,7 +2915,7 @@ def q80(spark, sf_dir):
         winnowing_fingerprints,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     corpus = docs.where(F.col("doc_id") < 80).select("doc_id", "text")
     cfp = winnowing_fingerprints(corpus, "doc_id", "text", n=3, window=4).select(
         F.col("id").alias("doc_id"), "fingerprint"
@@ -2985,7 +2994,7 @@ def q84(spark, sf_dir):
 
     from mel_tnnt_spark.operators.dedup import maintain_overlap_index
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
 
     def step_docs(s):
         if s == 0:
@@ -3070,7 +3079,7 @@ def q86(spark, sf_dir):
 
     from mel_tnnt_spark.operators.dedup import maintain_span_index
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     idx = tempfile.mkdtemp(prefix="q86_span_idx_")
     try:
         out = None
@@ -3159,7 +3168,7 @@ def q88(spark, sf_dir):
     per-window state bounded by the capacity."""
     from mel_tnnt_spark.operators.packing import assemble_packed
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 200)
     return assemble_packed(docs, "doc_id", "text", capacity=64)
 
 
@@ -3698,7 +3707,7 @@ def q81(spark, sf_dir):
 
     from mel_tnnt_spark.operators.textstats import curation_decision
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     # dense ids by construction (row_number over doc_id, r4 advice):
     # the quad-closure oracle needs ids 0..149 without gaps, which a
     # sparse corpus's raw doc_ids cannot guarantee
@@ -3774,7 +3783,7 @@ def q82(spark, sf_dir):
     byte-identical weight table and mirrors the full computation."""
     from mel_tnnt_spark.operators.textstats import quality_classifier_scores
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 400)
     return quality_classifier_scores(
         docs.select("doc_id", "text"), "doc_id", "text", dim=64,
         # portable md5 hashing so the DuckDB oracle can mirror the
@@ -3830,7 +3839,7 @@ def q83(spark, sf_dir):
     bit-for-bit in DuckDB."""
     from mel_tnnt_spark.operators.dedup import excise_duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents", repartition=False).where(F.col("doc_id") < 200)
     return excise_duplicate_spans(
         docs.select("doc_id", "text"), "doc_id", "text", k=5
     ).withColumnRenamed("doc_id", "id")
@@ -4078,7 +4087,7 @@ def q103(spark, sf_dir):
     ternary-parent tree (doc_id -> (doc_id-1) div 3)."""
     from mel_tnnt_spark.operators.graph_query import transitive_closure
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     edges = docs.where(F.col("doc_id") >= 1).select(
         F.col("doc_id").alias("child"),
         F.expr("(doc_id - 1) div 3").alias("parent"),
@@ -4187,7 +4196,7 @@ def q105(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import triangle_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     r = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")
@@ -4240,7 +4249,7 @@ def q106(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import maintain_transitive_closure
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     edges = docs.where(F.col("doc_id") >= 1).select(
         F.col("doc_id").alias("child"),
         F.expr("(doc_id - 1) div 3").alias("parent"),
@@ -4311,7 +4320,7 @@ def q107(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import deterministic_walks
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     r = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")
@@ -4460,7 +4469,7 @@ def q110(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import shortest_paths
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     r = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")
@@ -4619,7 +4628,7 @@ def q114(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import khop_aggregate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     r = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")
@@ -4685,7 +4694,7 @@ def q115(spark, sf_dir):
 
     from mel_tnnt_spark.operators.graph_query import edge_neighborhood_jaccard
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=False)
     r = docs.select(
         (F.row_number().over(Window.orderBy("doc_id")) - 1)
         .cast("long")

@@ -452,64 +452,83 @@ def pagerank_micro(
     hidden)."""
     if iterations < 0:
         raise ValueError(f"pagerank_micro: iterations must be >= 0, got {iterations}")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .repartition("node")
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
     # Hoist the out-degree join OUT of the iteration loop (guide §2.4:
     # remove shuffles outright): the degree of an edge's source is
     # loop-invariant, so attach it to the edge list ONCE and checkpoint
-    # the result partitioned by src — each iteration then joins ranks
-    # against an already-partitioned static side instead of re-running
-    # an edges-x-degrees join (2 exchanges/iteration removed). The
-    # nodes dim is checkpointed partitioned by node for the same
-    # reason (the per-iteration left join).
+    # the result — each iteration then joins ranks against a
+    # materialized static side instead of re-running an
+    # edges-x-degrees join (2 exchanges/iteration removed). The
+    # distinct edge set itself is NOT separately checkpointed: the
+    # degree aggregate and the join probe share the distinct's
+    # exchange (AQE exchange reuse), so one materialization (e_deg)
+    # suffices — one fewer eager barrier over the full edge list.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = (
         e.join(deg, "src")
         .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
+    # Node dim from the materialized e_deg (same edge set); with the
+    # sparse-rank loop below it has exactly ONE consumer (the final
+    # left join), so it stays LAZY — no checkpoint barrier, fused into
+    # the final job.
+    nodes = (
+        e_deg.select(F.col("src").alias("node")).distinct()
+        .unionByName(e_deg.select(F.col("dst").alias("node")).distinct())
+        .distinct()
+    )
     MICRO = 1_000_000_000_000
     BASE = MICRO * 3 // 20  # (1 - 17/20) * 1.0 in micro-units
-    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
+    if iterations == 0:
+        return nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
+    # SPARSE rank representation (guide §2.4 — remove shuffles
+    # outright): after any iteration, a node absent from the inflow
+    # table has rank exactly BASE (BASE + 17/20 * 0), a constant — so
+    # the loop carries only the inflow table and the full node dim is
+    # attached ONCE at the end instead of re-left-joined every
+    # iteration (one join + exchange per iteration removed). Iteration
+    # 1 needs no rank join at all: every rank is the constant MICRO.
+    # The integer arithmetic per node is unchanged op-for-op, so the
+    # iterates stay bit-identical to the dense formulation (and the
+    # unrolled oracle).
+    inflow = None
     for it in range(1, iterations + 1):
-        contrib = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
+        if inflow is None:
+            contrib = e_deg.select(
                 F.col("dst").alias("node"),
-                F.expr("rank_micro div outdeg").alias("c"),
+                F.expr(f"{MICRO}L div outdeg").alias("c"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_micro"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(BASE)
-                + F.expr("coalesce(in_micro, 0L) * 17 div 20")
-            ).cast("long").alias("rank_micro"),
-        )
-        # ranks is referenced ONCE per iteration, so lineage is LINEAR
+        else:
+            contrib = (
+                e_deg.join(
+                    inflow.withColumnRenamed("node", "src"), "src", "left"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"({BASE}L + coalesce(in_micro, 0L) * 17 div 20)"
+                        " div outdeg"
+                    ).alias("c"),
+                )
+            )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("in_micro"))
+        # inflow is referenced ONCE per iteration, so lineage is LINEAR
         # — checkpointing every iteration would serialize the whole
         # loop into per-iteration barriers (measured: 2->8 core
         # speedup 2.06x at 8M edges with eager per-iteration
         # checkpoints vs one fused multi-iteration job). Checkpoint
         # only every few iterations to cap plan depth on long runs.
         if it % checkpoint_every == 0 and it < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            inflow = inflow.localCheckpoint(eager=True)
+    return nodes.join(inflow, "node", "left").select(
+        "node",
+        (
+            F.lit(BASE) + F.expr("coalesce(in_micro, 0L) * 17 div 20")
+        ).cast("long").alias("rank_micro"),
+    )
 
 
 def shortest_paths(
