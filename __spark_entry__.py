@@ -72,13 +72,15 @@ _REPARTITION_SMALL_SCAN_BYTES = 64 * 1024 * 1024
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, repartition: bool = True
+    spark: SparkSession, sf_dir: str, name: str, repartition: bool = False
 ) -> DataFrame:
-    """Read one testdata table. `repartition=False` opts a call site
-    out of the small-scan redistribution — right for queries that
-    immediately filter to a few hundred rows (the chained/stateful
-    gates): there the extra exchange is a per-job stage barrier with
-    nothing to parallelize."""
+    """Read one testdata table. `repartition=True` opts a call site
+    INTO the small-scan redistribution — measured a win only for
+    per-row-HEAVY pipelines (regex/md5/explode/pair-join chains) over
+    small single-row-group files, where the whole chain is otherwise
+    pinned to one core; for aggregation/window/join-light queries the
+    extra exchange is a net loss (round-7 A/B), so the default is
+    off."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -111,7 +113,7 @@ def _containment_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — containment theta-join: broadcast entity vocabulary vs the
     documents corpus; occurrence counts per (doc, entity). (Reference:
     species-names-in-assessments scan, code/MEL/DoEE_Species.py:279-393.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     # One scan: per-entity literal regexes (compiled once by codegen)
     # inside an array<struct> that is exploded — equivalent to the
     # broadcast theta-join but ~7x cheaper than a dynamic-pattern
@@ -482,7 +484,7 @@ def q36(spark, sf_dir):
     vocab size; the reference's per-name scan is O(|vocab|*|text|))."""
     from mel_tnnt_spark.operators.containment import containment_counts, top_k_vocab
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     vocab = top_k_vocab(docs, "doc_id", "text", 1000)
     return containment_counts(docs, vocab, "doc_id", "text")
 
@@ -499,7 +501,7 @@ def q36(spark, sf_dir):
     """,
 )
 def q10(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     toks = docs.select(
         "doc_id", F.explode(F.expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).alias("word")
     )
@@ -1532,7 +1534,7 @@ def q51(spark, sf_dir):
     property is tested separately under forced collisions."""
     from mel_tnnt_spark.operators.sketch import cms_estimate, count_min_sketch
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", repartition=True)
     sk = count_min_sketch(ev, "event_type", depth=4, width=64)
     return cms_estimate(sk, ev.select("event_type"), "event_type", depth=4, width=64)
 
@@ -3298,7 +3300,7 @@ def q92(spark, sf_dir):
     (distance, index) tie order as q45) and the keep rule exactly."""
     from mel_tnnt_spark.operators.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", repartition=True)
     return semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.25
     )
@@ -3333,7 +3335,7 @@ def q93(spark, sf_dir):
     per-shard balance audit."""
     from mel_tnnt_spark.operators.packing import assign_shards
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     return (
         assign_shards(docs, "doc_id", "text", n_shards=8)
         .groupBy("shard")
@@ -3445,7 +3447,7 @@ def q95(spark, sf_dir):
     split == unsplit end-to-end on real data."""
     from mel_tnnt_spark.operators.textstats import lm_bigram_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     return lm_bigram_scores(docs, "doc_id", "text", hot_df=16).withColumnRenamed(
         "doc_id", "id"
     )
@@ -3516,7 +3518,7 @@ def q97(spark, sf_dir):
     reproduces the expansion bit-for-bit."""
     from mel_tnnt_spark.operators.curation import epoch_mixture
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     return epoch_mixture(
         docs, "lang", "doc_id", "text", {"en": 30000, "fr": 8000}
     )
@@ -4370,7 +4372,7 @@ def q108(spark, sf_dir):
     out_dim-element explode), zero shuffles, zero UDFs."""
     from mel_tnnt_spark.operators.similarity import random_projection
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", repartition=True)
     return random_projection(emb, "vec_id", "embedding", out_dim=4)
 
 

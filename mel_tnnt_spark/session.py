@@ -52,19 +52,12 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         # 128 MB scan splits: good parallelism at 100 TB without tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Split-size floor (guide §6 / §2): each file is charged
-        # openCostInBytes when packed into splits, and the 4 MB default
-        # FLOORS the split size at 4 MB — a 6 MB table then scans as 2
-        # tasks and every narrow chain above it (explode/regex/hash
-        # heavy operators) runs on 2 of N cores. 64 KB reflects real
-        # open cost on local/NVMe and object-store range reads and lets
-        # small inputs split to totalBytes/defaultParallelism; large
-        # scans still get maxPartitionBytes-sized splits. Cluster
-        # deployments with many tiny remote files can raise it via env.
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "65536"),
-        )
+        # openCostInBytes stays at its 4 MB default: lowering it to
+        # split small files finer was measured a NET LOSS (round 7 A/B:
+        # +0.3-1.5 s/query scheduling overhead across the register) —
+        # finer splits cannot help single-row-group parquet anyway
+        # (row groups are the parallelism unit); the targeted
+        # repartition-after-read in the query layer handles that case.
         # Broadcast dims (alias dict, label map) aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Joins (guide §3.1): allow shuffled-hash join when its size
