@@ -4832,13 +4832,48 @@ _R05_DRIVER_CERTIFIED = frozenset({
     "q84_dd_overlap_index_chained",
 })
 
+# Queries whose LATEST green driver row is in CORRECTNESS_r06.json
+# (the r06 window: 50/50 green — the round-6 fresh tier q85-q115
+# plus the retest tier as of round 6).
+_R06_DRIVER_CERTIFIED = frozenset({
+    "q100_cur_top_fraction", "q101_s2_profile_columns",
+    "q102_kg_bgp_match", "q103_kg_transitive_closure",
+    "q104_kg_pagerank", "q105_kg_triangle_count",
+    "q106_kg_closure_chained", "q107_kg_random_walks",
+    "q108_sim_random_projection", "q109_kg_property_path",
+    "q110_kg_bounded_shortest_paths", "q111_s2_exact_quantiles",
+    "q112_cur_temperature_mixture", "q113_contrastive_triplets",
+    "q114_kg_khop_aggregate", "q115_kg_edge_jaccard",
+    "q17_dd_exact_dedup", "q18_dd_ngram_jaccard_pairs",
+    "q19_dd_minhash_signatures", "q20_dd_simhash",
+    "q21_sim_cosine_topk", "q22_sim_bucketed_ann",
+    "q23_ts_lang_id", "q24_ts_quality_score",
+    "q25_ts_fingerprint", "q26_ts_token_count",
+    "q28_cc_embedding_graph", "q34_m15_deterministic_sample",
+    "q35_dd_lsh_pairs", "q37_j2_lookup_with_fallback",
+    "q44_sim_multiprobe_ann", "q45_sim_ivf_ann",
+    "q56_s2_general_metadata", "q61_j8_entity_linking",
+    "q62_dd_simhash_pairs", "q85_ts_classifier_training",
+    "q86_dd_span_index_chained", "q87_pack_sequence_layout",
+    "q88_pack_assembled_windows", "q89_cur_domain_cap",
+    "q90_cur_token_budget", "q91_cur_mixture_sample",
+    "q92_dd_semantic_dedup", "q93_pack_shard_assignment",
+    "q94_pack_incremental_layout", "q95_ts_lm_fluency",
+    "q96_weighted_sample", "q97_cur_epoch_mixture",
+    "q98_cur_domain_cap_chained", "q99_weighted_sample_chained",
+})
+
 # Marker commits: the artifact-only commit the driver wrote at the END
 # of each round — the certified rows were produced on this code state
 # (the marker adds only CORRECTNESS/BENCH/VERDICT files on top of it).
-_ROUND_MARKERS = {"r03": "cbfaa54", "r04": "f34ea97", "r05": "3c7f0a3"}
+_ROUND_MARKERS = {
+    "r03": "cbfaa54", "r04": "f34ea97", "r05": "3c7f0a3", "r06": "e69292d",
+}
 
 
 def _cert_round(name: str) -> str | None:
+    if name in _R06_DRIVER_CERTIFIED:
+        return "r06"
     if name in _R05_DRIVER_CERTIFIED:
         return "r05"
     if name in _R04_DRIVER_CERTIFIED:

@@ -268,14 +268,21 @@ def maintain_domain_caps(
     matter how much crawl flows through. Reading it each batch is
     O(state), state is O(output cap).
 
-    Idempotency needs NO ledger: the batch's own directory is
+    Idempotency contract — LATEST-BATCH crash replay (round-6 advice
+    narrowed this from "any replay"): the batch's own directory is
     excluded when computing prior counts (same own-tag anti-join
-    discipline as maintain_span_index), so a replayed batch sees the
-    exact pre-batch state, reproduces the identical decisions, and
-    rewrites an identical content-addressed directory (staged+rename;
-    a crash mid-write leaves only __staging-). Chained == scratch
-    cap_per_group on the union whenever ids ascend with arrival —
-    q98 gates that equivalence."""
+    discipline as maintain_span_index), so replaying the batch that
+    crashed (or the most recent one) sees the exact pre-batch state,
+    reproduces the identical decisions, and rewrites an identical
+    content-addressed directory (staged+rename; a crash mid-write
+    leaves only __staging-). Replaying an OLDER batch after later
+    batches were applied is NOT supported: its prior counts would
+    include the later batches' accepted rows, producing different
+    decisions (a per-batch prior-count ledger, the
+    maintain_pack_layout pattern, would be needed to lift this —
+    deliberately not paid until a caller needs out-of-order replay).
+    Chained == scratch cap_per_group on the union whenever ids ascend
+    with arrival — q98 gates that equivalence."""
     import os
     import shutil
 

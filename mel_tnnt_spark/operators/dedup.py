@@ -1412,7 +1412,7 @@ def semantic_dedup(
         return emb.sparkSession.createDataFrame(
             [], "id long, cluster_id int, keep boolean"
         )
-    from mel_tnnt_spark.operators.similarity import _guarded_dot, _uniform_dim
+    from mel_tnnt_spark.operators.similarity import _dot, _dot_fixed, _uniform_dim
 
     assigned = ivf_assign(emb, id_col, vec_col, pivots)
     # Normalize ONCE per row, not once per pair: higher-order array
@@ -1422,40 +1422,67 @@ def semantic_dedup(
     # row gets u = NULL, so every cosine involving it is NULL and
     # fails the threshold (the ANSI guard, preserved).
     #
-    # Codegen fast path for the PAIR dot only (guide §4.1): when both
-    # rows' sizes match the pivots' common dimension, the dot runs as a
-    # flat expression tree with the SAME left-associative float fold
-    # (bit-identical result) inside whole-stage codegen; ragged/NULL
-    # rows keep the interpreted fold. The per-pair dot is the engine's
-    # hottest expression — sum(c_i^2) evaluations — and interpreted
-    # higher-order folds are ~30x slower than codegen. The per-ROW
-    # norm/unit stay interpreted: they run once per row, and expanding
-    # them bloats the plan for no measurable win (see the ivf_assign
-    # note in similarity.py).
+    # PAIR-STAGE shape (guide §4.1, measured at sf1.0): the per-pair
+    # dot is the engine's hottest expression — sum(c_i^2) evaluations.
+    # Rows are split ONCE per side on the CHEAP codegen predicate
+    # size(v) == d (the pivots' common dimension) BEFORE normalization,
+    # so the conforming x conforming join — all pairs, in the normal
+    # case — evaluates a FLAT fixed-dim dot with the SAME
+    # left-associative float fold (bit-identical result) fully inside
+    # whole-stage codegen. Rejected alternatives, all measured: a
+    # per-pair CASE guard with the interpreted fold in its else branch
+    # (2x slower — CodegenFallback in the join condition), splitting
+    # on size(u) (pushes the interpreted normalize chain into the
+    # scan filter, +5s), a double pre-filter in front of the rounded
+    # compare (two filters over the same aliased dot expression
+    # de-optimized to 91s), and checkpointing the shared unit table
+    # (LogicalRDD has no size stats -> loses the auto-broadcast, 12x).
+    # Zero-norm rows stay on their size-split side: their u is NULL,
+    # every product is NULL, the sum is NULL and fails the threshold —
+    # identical on both dot paths. Ragged/NULL-element rows need no
+    # join at all (their centroid is NULL — see the proof at the
+    # split below).
     d = _uniform_dim(pivots)
-    unit = assigned.withColumn(
-        "_n", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
-    ).select(
-        "id",
-        "centroid",
-        F.when(
-            F.col("_n") > 0, F.expr("transform(v, x -> x / _n)")
-        ).alias("u"),
-    )
-    dot = _guarded_dot("a.u", "b.u", d)
-    dropped = (
-        unit.alias("a")
-        .join(
-            unit.alias("b"),
-            F.col("a.centroid") == F.col("b.centroid"),
+
+    def _unitize(rows):
+        return rows.withColumn(
+            "_n", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+        ).select(
+            "id",
+            "centroid",
+            F.when(
+                F.col("_n") > 0, F.expr("transform(v, x -> x / _n)")
+            ).alias("u"),
         )
-        .where(F.col("b.id") < F.col("a.id"))
-        .withColumn("cosine", F.round(dot, 6))
-        .where(F.col("cosine") > threshold)
-        .select(F.col("a.id").alias("id"))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+
+    def _pair_ids(left, right, dot_col):
+        return (
+            left.alias("a")
+            .join(right.alias("b"), F.col("a.centroid") == F.col("b.centroid"))
+            .where(F.col("b.id") < F.col("a.id"))
+            .withColumn("cosine", F.round(dot_col, 6))
+            .where(F.col("cosine") > threshold)
+            .select(F.col("a.id").alias("id"))
+        )
+
+    if d is not None:
+        # Only rows with size(v) == d can ever PAIR: every centroid
+        # distance zips v against a d-length pivot, so a ragged v (or
+        # one containing a NULL element) null-pads every distance,
+        # making the assigned centroid NULL — and the pair join's
+        # centroid equality rejects NULLs. Hence restricting BOTH join
+        # sides to size(v) == d drops no pair (pinned by
+        # test_semantic_dedup_ragged_dimensions_exact), and the single
+        # remaining join runs the fixed-dim codegen dot. (The final
+        # keep-join below still runs over ALL rows of `assigned`, so
+        # ragged rows keep their NULL cluster_id and keep=true.)
+        okv = F.coalesce(F.expr(f"size(v) = {d}"), F.lit(False))
+        fast = _unitize(assigned.where(okv))
+        pair_ids = _pair_ids(fast, fast, _dot_fixed("a.u", "b.u", d))
+    else:
+        unit = _unitize(assigned)
+        pair_ids = _pair_ids(unit, unit, _dot("a.u", "b.u"))
+    dropped = pair_ids.distinct().withColumn("_dup", F.lit(True))
     return (
         assigned.select("id", F.col("centroid").alias("cluster_id"))
         .join(dropped, "id", "left")

@@ -64,18 +64,44 @@ VAR_PREFIX = "?"
 
 
 def _pattern_legs(patterns):
-    """Validate patterns and compute (bound-literal count, index) order:
-    most-selective (most literals) first, original order as tie-break —
-    deterministic, so plans and oracles agree."""
+    """Validate patterns and compute a CONNECTED join order: seed with
+    the most-bound pattern (most literals, original index as
+    tie-break), then greedily append the most-bound remaining pattern
+    that shares a variable with the already-bound set — deterministic,
+    so plans and oracles agree. The connectivity constraint is part of
+    the ORDER (round-6 advice): a pure literal-count sort could place
+    two legs with no shared variable first and reject a BGP that IS
+    connected through a later leg; now an error means the pattern
+    group is genuinely disconnected."""
     if not patterns:
         raise ValueError("bgp_match: need at least one (s, p, o) pattern")
-    order = sorted(
-        range(len(patterns)),
-        key=lambda i: (
-            -sum(1 for v in patterns[i] if not str(v).startswith(VAR_PREFIX)),
-            i,
-        ),
-    )
+
+    def _vars(i):
+        return {
+            str(v)[1:]
+            for v in patterns[i]
+            if str(v).startswith(VAR_PREFIX) and len(str(v)) > 1
+        }
+
+    def _nlit(i):
+        return sum(1 for v in patterns[i] if not str(v).startswith(VAR_PREFIX))
+
+    remaining = list(range(len(patterns)))
+    first = min(remaining, key=lambda i: (-_nlit(i), i))
+    order = [first]
+    remaining.remove(first)
+    bound = _vars(first)
+    while remaining:
+        connected = [i for i in remaining if _vars(i) & bound]
+        if not connected:
+            raise ValueError(
+                "bgp_match: disconnected pattern group (no shared variable) — "
+                "run the groups as separate matches instead of a cross product"
+            )
+        nxt = min(connected, key=lambda i: (-_nlit(i), i))
+        order.append(nxt)
+        remaining.remove(nxt)
+        bound |= _vars(nxt)
     return order
 
 
@@ -110,11 +136,15 @@ def bgp_match(
     for s, p, o in patterns:
         sp = str(p)
         if not sp.startswith(VAR_PREFIX) and sp.endswith("+") and len(sp) > 1:
-            # p+ leg: reachability pairs of the base predicate
+            # p+ leg: reachability pairs of the base predicate —
+            # CYCLE-SAFE set-semantics fixpoint (round-6 advice):
+            # SPARQL one-or-more paths are well-defined on cyclic
+            # graphs, and real KG predicates (sameAs, messy partOf)
+            # contain cycles, so the depth-tracking acyclic closure
+            # (which raises on cycles) is the wrong tool here. On an
+            # acyclic subgraph the pair set is identical.
             base = triples.where(F.col("pred") == F.lit(sp[:-1]))
-            leg = transitive_closure(base, "subj", "obj", max_depth).select(
-                F.col("node").alias("subj"), F.col("ancestor").alias("obj")
-            ).distinct()
+            leg = reachability_pairs(base, "subj", "obj", max_depth)
             positions = zip(("subj", "obj"), (s, o))
         else:
             leg = triples
@@ -153,6 +183,54 @@ def bgp_match(
             )
         out = out.join(leg, shared)
     return out
+
+
+def reachability_pairs(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_depth: int = 1024,
+) -> DataFrame:
+    """All DISTINCT (subj, obj) reachability pairs over a directed edge
+    set — set semantics, CYCLE-SAFE (the SPARQL "one-or-more" path
+    evaluation): iterative doubling over distinct pairs, converging
+    when the pair count stops growing. The state space is finite
+    (<= n^2 pairs), so convergence needs no acyclicity assumption —
+    unlike transitive_closure, whose exact-depth contract makes cycles
+    divergent by construction. max_depth only bounds the path length
+    that must be covered (ceil(log2) + 1 doubling rounds); the
+    fixpoint itself always terminates: doubling adds no new pair only
+    at the full fixpoint, and the covered path length doubles per
+    round, so the loop runs at most ceil(log2(longest shortest
+    path)) <= log2(n) growing rounds regardless of max_depth."""
+    pairs = (
+        edges.select(F.col(src_col).alias("subj"), F.col(dst_col).alias("obj"))
+        .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    del max_depth  # kept for signature symmetry; convergence is count-driven
+    n = pairs.count()
+    while True:
+        grown = (
+            pairs.alias("a")
+            .join(
+                pairs.select(
+                    F.col("subj").alias("_mid"), F.col("obj").alias("_obj2")
+                ),
+                F.col("a.obj") == F.col("_mid"),
+            )
+            .select(F.col("a.subj").alias("subj"), F.col("_obj2").alias("obj"))
+        )
+        new_pairs = (
+            pairs.unionByName(grown).distinct().localCheckpoint(eager=True)
+        )
+        new_n = new_pairs.count()
+        pairs = new_pairs
+        if new_n == n:
+            break
+        n = new_n
+    return pairs
 
 
 def transitive_closure(

@@ -177,7 +177,11 @@ def assign_shards(
             lambda t: t != F.lit(""),
         )
     ).cast("long")
-    base = docs.select(F.col(id_col).cast("long").alias("id"), n_tok.alias("n_tokens"))
+    # keep the id column's NATIVE type (round-6 advice): only n_tokens
+    # needs to be numeric; casting string/UUID ids to long would NULL
+    # them, collapsing the (n_tokens DESC, id ASC) tie order to
+    # non-deterministic NULL ties and emitting NULL ids.
+    base = docs.select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
     bounds = base.agg(F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi"))
     span = (
         (F.col("hi") - F.col("lo") + 1 + F.lit(n_buckets) - 1) / F.lit(n_buckets)

@@ -116,6 +116,34 @@ def test_semantic_dedup_keep_lowest_id_zero_norm_safe(spark):
     assert got == {0: True, 1: False, 2: True, 3: True, 4: False}
 
 
+def test_semantic_dedup_ragged_dimensions_exact(spark):
+    """Round-7 pair-stage restriction to size(v) == pivot-dim rows,
+    justified by: a ragged v null-pads every centroid distance, so its
+    assigned centroid is NULL and the centroid-equality pair join can
+    never match it (this was already the pre-round-7 behavior — the
+    cluster id IS the candidate structure). Pins that ragged rows are
+    (a) never dropped, (b) never drop others, (c) still present in
+    the output with a NULL cluster_id, while conforming near-dups
+    still drop through the codegen dot path."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),          # conforming (pivot dim 2)
+            (1, [1.0, 0.001]),        # conforming near-dup of 0 -> dropped
+            (2, [1.0, 0.0, 0.0]),     # ragged len-3: NULL centroid
+            (3, [1.0, 0.001, 0.0]),   # ragged len-3: NULL centroid
+            (4, [5.0]),               # ragged len-1: NULL centroid
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_dedup(emb, "vec_id", "embedding", n_clusters=1,
+                          threshold=0.9, pivots=[[1.0, 0.0]]).collect()
+    got = {r["id"]: r["keep"] for r in rows}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: True}
+    clusters = {r["id"]: r["cluster_id"] for r in rows}
+    assert clusters[0] == 0 and clusters[1] == 0
+    assert clusters[2] is None and clusters[3] is None and clusters[4] is None
+
+
 def test_semantic_dedup_empty_input_and_default_pivots(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup(empty, "vec_id", "embedding").count() == 0

@@ -74,6 +74,50 @@ def test_bgp_bag_semantics_duplicates_preserved(spark):
     assert bgp_match(t, [("?s", "p", "?o")]).count() == 2
 
 
+def test_bgp_connected_via_later_leg(spark):
+    """Round-6 advice: a BGP connected only THROUGH a later leg must
+    not be rejected. [(?a,knows,?b), (alice,knows,?a), (?b,worksAt,acme)]
+    sorted purely by literal count put the two 1-literal legs first
+    ({a} then {b}, no shared variable) and errored; the greedy
+    connected ordering now routes through the 0-literal leg."""
+    rows = [
+        ("alice", "knows", "bob"),
+        ("bob", "knows", "carol"),
+        ("carol", "worksAt", "acme"),
+        ("bob", "worksAt", "initech"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = bgp_match(
+        t,
+        [
+            ("?a", "knows", "?b"),
+            ("alice", "knows", "?a"),
+            ("?b", "worksAt", "acme"),
+        ],
+    )
+    assert {(r["a"], r["b"]) for r in got.collect()} == {("bob", "carol")}
+
+
+def test_bgp_property_path_cyclic_predicate(spark):
+    """Round-6 advice: 'p+' must be cycle-safe (SPARQL one-or-more is
+    set-semantics reachability, well-defined on cycles). A sameAs
+    2-cycle previously made the depth-tracking closure raise."""
+    rows = [
+        ("x", "sameAs", "y"),
+        ("y", "sameAs", "x"),
+        ("y", "sameAs", "z"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r["s"], r["t"])
+        for r in bgp_match(t, [("?s", "sameAs+", "?t")]).collect()
+    }
+    assert got == {
+        ("x", "y"), ("x", "z"), ("x", "x"),
+        ("y", "x"), ("y", "z"), ("y", "y"),
+    }
+
+
 def test_bgp_errors(triples):
     with pytest.raises(ValueError, match="disconnected"):
         bgp_match(
