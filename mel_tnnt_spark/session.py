@@ -58,8 +58,26 @@ def get_spark(
         # finer splits cannot help single-row-group parquet anyway
         # (row groups are the parallelism unit); the targeted
         # repartition-after-read in the query layer handles that case.
-        # Broadcast dims (alias dict, label map) aggressively.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast thresholds (guide §3.1): plan-time decisions run on
+        # SIZE ESTIMATES, which overshoot badly after string-building
+        # projections — a 64 MB plan-time threshold broadcast a 6M-row
+        # 300+ MB string relation in the BGP path (13.4s). Keep the
+        # plan-time threshold at the conservative 10 MB default and
+        # let AQE upgrade joins to broadcast from ACCURATE runtime
+        # sizes up to 64 MB (q102 13.4 -> 3.3s; genuinely small dims
+        # still broadcast, now based on real bytes).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_AUTOBROADCAST", str(10 * 1024 * 1024)
+            ),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_AQE_AUTOBROADCAST", str(64 * 1024 * 1024)
+            ),
+        )
         # Joins (guide §3.1): allow shuffled-hash join when its size
         # conditions are met instead of always sort-merge — the graph /
         # dedup paths join multi-million-row string-keyed tables where

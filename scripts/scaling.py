@@ -32,7 +32,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_once(cores: int, rows: int, extra: list[str] | None = None) -> tuple[float, int]:
+def run_once(
+    cores: int,
+    rows: int,
+    extra: list[str] | None = None,
+    cluster_mem_mb: int = 0,
+) -> tuple[float, int]:
     from mel_tnnt_spark.session import get_spark
     from mel_tnnt_spark.datagen import code_files_distributed
     from mel_tnnt_spark.operators.triples import write_triples
@@ -42,9 +47,18 @@ def run_once(cores: int, rows: int, extra: list[str] | None = None) -> tuple[flo
     # levels: AQE's byte-based coalescing would otherwise hand the
     # python-heavy stage ~1 task per core (wave quantization + straggler
     # tail kills the 4N run; cluster practice is 2-4x tasks per core).
+    # cluster_mem_mb > 0 switches to local-cluster[cores,1,mem]:
+    # `cores` SEPARATE executor JVMs with their own block managers —
+    # the round-6 verdict's instrument fix for the single-JVM
+    # shuffle/block-manager share that saturated the local[N] ratio.
+    master = (
+        f"local-cluster[{cores},1,{cluster_mem_mb}]"
+        if cluster_mem_mb
+        else f"local[{cores}]"
+    )
     spark = get_spark(
         f"scaling-{cores}",
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=32,
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-scaling",
@@ -77,10 +91,15 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--single", type=int, default=0, help="internal: one measurement")
     ap.add_argument("--extra-conf", action="append", default=[], help="k=v spark conf (repeatable)")
+    ap.add_argument(
+        "--cluster-mem-mb", type=int, default=0,
+        help="run each level as local-cluster[N,1,MEM]: N separate "
+             "executor JVMs instead of N threads in one JVM",
+    )
     args = ap.parse_args()
 
     if args.single:
-        dt, n = run_once(args.single, args.rows, args.extra_conf)
+        dt, n = run_once(args.single, args.rows, args.extra_conf, args.cluster_mem_mb)
         print(json.dumps({"dt": dt, "n": n}))
         return
 
@@ -91,7 +110,8 @@ def main() -> None:
     for _ in range(args.trials):
         for cores in levels:
             out = subprocess.run(
-                [sys.executable, __file__, "--single", str(cores), "--rows", str(args.rows)]
+                [sys.executable, __file__, "--single", str(cores), "--rows", str(args.rows),
+                 "--cluster-mem-mb", str(args.cluster_mem_mb)]
                 + [f"--extra-conf={kv}" for kv in args.extra_conf],
                 capture_output=True,
                 text=True,
@@ -124,9 +144,12 @@ def main() -> None:
             }
         )
     )
+    mode = (
+        f"local-cluster[N,1,{args.cluster_mem_mb}]" if args.cluster_mem_mb else "local[N]"
+    )
     print(
-        f"| {args.rows} | {n1} | local[{args.n}]: {t_small:.1f}s ({thr_small:.0f}/s) "
-        f"| local[{args.n * 4}]: {t_large:.1f}s ({thr_large:.0f}/s) | {eff:.3f} |"
+        f"| {args.rows} | {n1} | {mode} N={args.n}: {t_small:.1f}s ({thr_small:.0f}/s) "
+        f"| N={args.n * 4}: {t_large:.1f}s ({thr_large:.0f}/s) | {eff:.3f} |"
     )
 
 
