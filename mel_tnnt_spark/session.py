@@ -48,7 +48,10 @@ def get_spark(
         # Arrow boundary: vectorized pandas UDFs only; bound batch rows so a
         # batch of large `content` strings cannot blow the python worker.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        )
         .config("spark.python.worker.reuse", "true")
         # 128 MB scan splits: good parallelism at 100 TB without tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
