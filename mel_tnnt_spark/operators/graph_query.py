@@ -450,10 +450,11 @@ def maintain_transitive_closure(
     # ceil(log2(max_depth)) + 1 rounds
     rounds_left = max(1, math.ceil(math.log2(max(2, max_depth))) + 1)
     while n_delta:
+        # N.(C u N) == N.C u N.N — two joins instead of three per round
+        # (one exchange + union arm saved; identical grown set)
         grown = (
-            _compose(delta, closure)
+            _compose(delta, closure.unionByName(delta))
             .unionByName(_compose(closure, delta))
-            .unionByName(_compose(delta, delta))
             .distinct()
         )
         new_delta = (
