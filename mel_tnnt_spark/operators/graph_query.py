@@ -536,20 +536,18 @@ def pagerank_micro(
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
     # Hoist the out-degree join OUT of the iteration loop (guide §2.4:
     # remove shuffles outright): the degree of an edge's source is
-    # loop-invariant, so attach it to the edge list ONCE and checkpoint
-    # the result — each iteration then joins ranks against a
-    # materialized static side instead of re-running an
-    # edges-x-degrees join (2 exchanges/iteration removed). The
-    # distinct edge set itself is NOT separately checkpointed: the
-    # degree aggregate and the join probe share the distinct's
-    # exchange (AQE exchange reuse), so one materialization (e_deg)
-    # suffices — one fewer eager barrier over the full edge list.
+    # loop-invariant, so attach it to the edge list ONCE — each
+    # iteration then joins ranks against a static side instead of
+    # re-running an edges-x-degrees join. The static side is kept
+    # LAZY, not checkpointed: within one fused job AQE's exchange
+    # reuse computes the distinct and the degree aggregate once, and
+    # an eager multi-hundred-MB edge checkpoint measurably DESTABILIZED
+    # the query (block-manager churn: 7-34 s spread at sf1.0 vs
+    # 8.2-15 s lazy, medians 13 vs 8.5). Long runs re-derive the
+    # reused exchanges once per checkpoint_every window — the cadence
+    # bounds it.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = (
-        e.join(deg, "src")
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=True)
-    )
+    e_deg = e.join(deg, "src").select("src", "dst", "outdeg")
     # Node dim from the materialized e_deg (same edge set); with the
     # sparse-rank loop below it has exactly ONE consumer (the final
     # left join), so it stays LAZY — no checkpoint barrier, fused into
