@@ -52,16 +52,12 @@ def _dot_fixed(a: str, b: str, d: int) -> F.Column:
     return acc
 
 
-def _guarded_dot(a: str, b: str, d: int | None) -> F.Column:
-    """`_dot` with the codegen fast path when both sides have size d at
-    runtime; NULL/ragged rows fall back to the interpreted fold, so the
-    result (including NULL propagation) is identical for every row."""
-    if d is None:
-        return _dot(a, b)
-    return F.when(
-        (F.expr(f"size({a})") == d) & (F.expr(f"size({b})") == d),
-        _dot_fixed(a, b, d),
-    ).otherwise(_dot(a, b))
+# NOTE: a per-pair CASE guard combining _dot_fixed with the
+# interpreted _dot fallback was tried and removed: a CodegenFallback
+# subtree inside a join condition costs the whole stage its codegen
+# (measured 2x slower than the fixed path alone). Callers that need
+# both paths split ROWS once per side instead (see
+# dedup.semantic_dedup's size(v)==d split).
 
 
 def _norm(a: str) -> F.Column:
@@ -172,7 +168,7 @@ def ivf_assign(
     # planning cost alone exceeded the interpreted evaluation. The
     # assignment runs once per ROW (not per pair), so it is never the
     # hot path; the pair-stage dot in semantic_dedup is (see
-    # _guarded_dot).
+    # _dot_fixed and the size-split there).
     ds = F.array(*[_sq_l2("v", c) for c in centroids])
     return v.withColumn(
         "centroid", (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
