@@ -70,8 +70,19 @@ def run_pipeline(
 
     aliases = linking.alias_dict_df(spark)
     linked = linking.link_mentions(canon, aliases)
-    # linking feeds CC + triples; materialize once
-    linked = linked.localCheckpoint(eager=True)
+    # linking feeds CC + triples; materialize ONCE — but only the four
+    # columns those consumers read (doc_id, entity_id, canonical,
+    # linked_label). The full 10-column mention-level table is 7.2M
+    # rows at the 1M-doc bench (model/category/surface/offsets/score
+    # roughly double the materialized bytes) and checkpointing all of
+    # it paid block-manager churn for columns nobody downstream
+    # touches — guide §8's "materialize the small decision table"
+    # applied to the pipeline spine. The exposed `linked` frame keeps
+    # the full schema lazily; consumers of the slim columns hit the
+    # checkpoint through it only via the internal projections below.
+    linked_slim = linked.select(
+        "doc_id", "entity_id", "canonical", "linked_label"
+    ).localCheckpoint(eager=True)
 
     # One distinct over the big table yields the tiny entity dim shared
     # by identity canonicalization and the entity-level triples. The
@@ -84,7 +95,7 @@ def run_pipeline(
     # for unbounded entity universes.
     ENT_DIM_DRIVER_LIMIT = 200_000
     dim_rows = (
-        linked.select("entity_id", "canonical", "linked_label")
+        linked_slim.select("entity_id", "canonical", "linked_label")
         .distinct()
         .limit(ENT_DIM_DRIVER_LIMIT + 1)
         .collect()
@@ -103,11 +114,13 @@ def run_pipeline(
         )
     else:
         ent_dim = (
-            linked.select("entity_id", "canonical", "linked_label")
+            linked_slim.select("entity_id", "canonical", "linked_label")
             .distinct()
             .localCheckpoint(eager=True)
         )
-        ents = components.canonical_entities(linked, ent_dim=ent_dim).localCheckpoint(eager=True)
+        ents = components.canonical_entities(
+            linked_slim, ent_dim=ent_dim
+        ).localCheckpoint(eager=True)
     # Doc dim via the key-only dedup: no content bytes shuffle for this
     # consumer (the wide max_by would drag `content` through the wire
     # just to emit (doc_id, repo)). Resume filtering applies here too.
@@ -117,7 +130,7 @@ def run_pipeline(
     if lineage_path is not None:
         docs = lineage.pending_only(docs, lin, stage)
     docs = docs.select("doc_id", "repo")
-    trip = triples.build_triples(docs, linked, ents, ent_dim=ent_dim)
+    trip = triples.build_triples(docs, linked_slim, ents, ent_dim=ent_dim)
 
     return PipelineResult(
         source_valid=valid,
