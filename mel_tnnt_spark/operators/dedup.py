@@ -787,10 +787,14 @@ def _log_batch_dirs(log_path: str) -> list[str]:
     )
 
 
-def _read_log_pruned(spark, log_path: str, probe, n_buckets: int):
+def _read_log_pruned(
+    spark, log_path: str, probe, n_buckets: int, touched: set | None = None
+):
     """Read the append-log rows in the buckets `probe`'s fingerprints
     hash into: O(|log| ∩ touched buckets), log size bounded by the
-    compaction threshold. Returns None when the log is empty."""
+    compaction threshold. Returns None when the log is empty.
+    `touched` (optional): the probe's bucket-id set, pre-computed with
+    the SAME bucket fn/count, so base and log reads share one collect."""
     import os
 
     from mel_tnnt_spark.operators.merge_sink import _bucket_expr
@@ -798,8 +802,9 @@ def _read_log_pruned(spark, log_path: str, probe, n_buckets: int):
     dirs = _log_batch_dirs(log_path)
     if not dirs:
         return None
-    kb = _bucket_expr(("fingerprint",), n_buckets)
-    touched = {r[0] for r in probe.select(kb.alias("_b")).distinct().collect()}
+    if touched is None:
+        kb = _bucket_expr(("fingerprint",), n_buckets)
+        touched = {r[0] for r in probe.select(kb.alias("_b")).distinct().collect()}
     paths = [
         os.path.join(log_path, d, f"kb={b}")
         for d in dirs
@@ -936,13 +941,24 @@ def maintain_overlap_index(
     bfp = winnowing_fingerprints(batch, id_col, text_col, n, window).persist()
     try:
         probe = bfp.select("fingerprint").distinct()
+        # ONE touched-bucket collect shared by the base and log reads
+        # (the meta check above pins both layouts to the same bucket
+        # fn/count, so the set is identical by construction)
+        touched = {
+            r[0]
+            for r in probe.select(
+                _bucket_expr(("fingerprint",), n_buckets).alias("_b")
+            ).distinct().collect()
+        }
         sides = []
         if os.path.isdir(fp_path):
             sides.append(
-                read_merged_pruned(spark, fp_path, probe)
+                read_merged_pruned(spark, fp_path, probe, touched_buckets=touched)
                 .withColumnRenamed(id_col, "id")
             )
-        log_side = _read_log_pruned(spark, log_path, probe, n_buckets)
+        log_side = _read_log_pruned(
+            spark, log_path, probe, n_buckets, touched=touched
+        )
         if log_side is not None:
             sides.append(log_side.withColumnRenamed(id_col, "id"))
         if sides:

@@ -415,12 +415,14 @@ def maintain_transitive_closure(
         # subtract on the FULL (node, ancestor, depth) triple: on a DAG
         # a pair can be reachable at several depths and the from-scratch
         # closure keeps every one — dropping by pair would lose the new
-        # depths and break chained == scratch
+        # depths and break chained == scratch. left_anti IS that
+        # subtract (same rows as the historical left-join +
+        # null-filter, one fewer projected column and no post-filter).
         return a.join(
-            b.select("node", "ancestor", "depth", F.lit(True).alias("_in")),
+            b.select("node", "ancestor", "depth"),
             ["node", "ancestor", "depth"],
-            "left",
-        ).where(F.col("_in").isNull()).drop("_in")
+            "left_anti",
+        )
 
     def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
         return (

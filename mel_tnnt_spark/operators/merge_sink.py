@@ -123,7 +123,10 @@ def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
 
 
 def read_merged_pruned(
-    spark: SparkSession, target_path: str, probe: DataFrame
+    spark: SparkSession,
+    target_path: str,
+    probe: DataFrame,
+    touched_buckets: set | None = None,
 ) -> DataFrame:
     """Read ONLY the buckets of a merge-maintained table that `probe`'s
     bucket-key values hash into — the point of a bucket_keys layout: a
@@ -134,14 +137,23 @@ def read_merged_pruned(
 
     The probe must contain the table's bucket_keys columns. Bounded
     driver collect: at most n_buckets distinct bucket ids. Falls back
-    to the full read for legacy flat layouts (no meta)."""
+    to the full read for legacy flat layouts (no meta).
+
+    touched_buckets: pre-computed bucket-id set for the probe — MUST
+    come from the same bucket function/count this table's meta pins
+    (a caller folding one batch into base + log layouts computes it
+    once instead of running the probe collect per layout)."""
     meta = _read_meta(target_path)
     if meta is None:
         return read_merged(spark, target_path)
     n_buckets = int(meta["n_buckets"])
     bkeys = tuple(meta.get("bucket_keys", meta["keys"]))
     kb = _bucket_expr(bkeys, n_buckets)
-    touched = {r[0] for r in probe.select(kb.alias("_b")).distinct().collect()}
+    touched = (
+        touched_buckets
+        if touched_buckets is not None
+        else {r[0] for r in probe.select(kb.alias("_b")).distinct().collect()}
+    )
     live = [
         os.path.join(target_path, f"{_BUCKET_COL}={b}")
         for b in sorted(touched)
