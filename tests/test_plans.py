@@ -231,19 +231,22 @@ def test_rotation_touch_derivation_flags_changed_dedup_path():
     """The certify-on-change derivation must flag the queries whose
     implementation modules changed since their certifying round — the
     exact miss VERDICT r4 #2 called out. Ground truth tracks the
-    newest certifications: q18/q19/q35 and q82 are r05-certified and
-    their modules (dedup.py: content_tag + span index; textstats.py:
-    trainer refactor) changed since the r05 marker, so they must be
-    flagged; merge_sink.py is UNCHANGED since r05, so q50 (rollup ->
-    merge_sink importer, the r5 closure example) must NOT be — the
-    derivation is change-driven, not pessimistic."""
+    newest certifications (updated round 7): dedup.py and
+    merge_sink.py changed in round 7, so the dedup family and q50
+    (rollup -> merge_sink importer, the r5 closure example) must be
+    flagged; q01/q14 are pure-SQL entries whose function bodies and
+    import closures are untouched since their certifying round, so
+    they must NOT be — the derivation is change-driven, not
+    pessimistic."""
     import __spark_entry__ as e
 
     touched = e._touched_since_certification()
     for n in ("q18_dd_ngram_jaccard_pairs", "q19_dd_minhash_signatures",
-              "q35_dd_lsh_pairs", "q82_ts_quality_classifier"):
+              "q35_dd_lsh_pairs", "q82_ts_quality_classifier",
+              "q50_hypertable_rollup"):
         assert n in touched, f"{n} changed since certification, not flagged"
-    assert "q50_hypertable_rollup" not in touched
+    for n in ("q01_a1_pricing_summary", "q14_a5_rollup_lang_source"):
+        assert n not in touched, f"{n} untouched yet flagged"
     # sanity: derivation is grounded — it never flags a query whose
     # cert round has no marker commit, and returns a subset of names
     assert touched <= set(e._Q)
